@@ -1,0 +1,200 @@
+"""Fixed-shape masked cloud pytrees — the `cloudblock_t` equivalent.
+
+The reference's processing unit is a pointer-rich `cloudblock_t` holding six
+variable-length feature clouds plus kd-trees (`utility.hpp:233-553`).  The
+TPU-native equivalent is a pytree of fixed-capacity struct-of-array tensors
+with validity masks; every kernel treats masked slots as absent.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# feature class order mirrors the reference's used_feature_type bitstring
+# (ground, pillar, facade, beam, roof, vertex — `mulls_slam.cpp` comment)
+FEATURE_NAMES = ("ground", "pillar", "facade", "beam", "roof", "vertex")
+
+
+@struct.dataclass
+class RawCloud:
+    """A raw (or pre-filtered) scan: [N, 3] xyz + per-point scalars."""
+
+    xyz: jnp.ndarray  # [N, 3] f32
+    intensity: jnp.ndarray  # [N] f32
+    ts_ratio: jnp.ndarray  # [N] f32, in-frame timestamp ratio (motion comp.)
+    mask: jnp.ndarray  # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[-2]
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=-1)
+
+    @staticmethod
+    def empty(n: int) -> "RawCloud":
+        return RawCloud(
+            xyz=jnp.zeros((n, 3), jnp.float32),
+            intensity=jnp.zeros((n,), jnp.float32),
+            ts_ratio=jnp.zeros((n,), jnp.float32),
+            mask=jnp.zeros((n,), bool),
+        )
+
+
+@struct.dataclass
+class FeatureCloud:
+    """One feature class: points + direction vector + saliency.
+
+    ``normal`` stores the plane normal for planar classes (ground, facade,
+    roof) and the principal direction for linear classes (pillar, beam,
+    vertex), exactly like the reference overloads the PCL normal fields
+    (`pca.hpp:437-454`).  ``strength`` is the reference's `normal[3]`
+    (planarity / linearity / 5*curvature), used as the NMS saliency.
+    ``height`` is the reference's `data[3]` height-above-ground.
+    """
+
+    xyz: jnp.ndarray  # [N, 3] f32
+    normal: jnp.ndarray  # [N, 3] f32
+    intensity: jnp.ndarray  # [N] f32
+    strength: jnp.ndarray  # [N] f32
+    height: jnp.ndarray  # [N] f32
+    ts_ratio: jnp.ndarray  # [N] f32
+    mask: jnp.ndarray  # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[-2]
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=-1)
+
+    @staticmethod
+    def empty(n: int) -> "FeatureCloud":
+        return FeatureCloud(
+            xyz=jnp.zeros((n, 3), jnp.float32),
+            normal=jnp.zeros((n, 3), jnp.float32),
+            intensity=jnp.zeros((n,), jnp.float32),
+            strength=jnp.zeros((n,), jnp.float32),
+            height=jnp.zeros((n,), jnp.float32),
+            ts_ratio=jnp.zeros((n,), jnp.float32),
+            mask=jnp.zeros((n,), bool),
+        )
+
+    def gather(self, idx: jnp.ndarray, valid: jnp.ndarray) -> "FeatureCloud":
+        """Select rows by index with a fresh validity mask."""
+        return FeatureCloud(
+            xyz=self.xyz[idx],
+            normal=self.normal[idx],
+            intensity=self.intensity[idx],
+            strength=self.strength[idx],
+            height=self.height[idx],
+            ts_ratio=self.ts_ratio[idx],
+            mask=valid & self.mask[idx],
+        )
+
+    def transform(self, T: jnp.ndarray, rotate_normals: bool = True) -> "FeatureCloud":
+        xyz = jnp.einsum("ij,nj->ni", T[:3, :3], self.xyz) + T[:3, 3]
+        normal = (jnp.einsum("ij,nj->ni", T[:3, :3], self.normal)
+                  if rotate_normals else self.normal)
+        return self.replace(xyz=xyz, normal=normal)
+
+    def concat(self, other: "FeatureCloud") -> "FeatureCloud":
+        return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), self, other)
+
+
+@struct.dataclass
+class VertexDescriptors:
+    """NCC keypoint descriptors for the vertex cloud (reference
+    `cfilter.hpp:1071-1181`): 8 neighborhood-category counts (close/far x
+    pillar/beam/facade/roof) + normalized intensity + curvature + height,
+    decoded to the 11-dim comparison vector of `cregistration.hpp:444-515`."""
+
+    vec: jnp.ndarray  # [N, 11] f32
+    mask: jnp.ndarray  # [N] bool
+
+    @staticmethod
+    def empty(n: int) -> "VertexDescriptors":
+        return VertexDescriptors(vec=jnp.zeros((n, 11), jnp.float32),
+                                 mask=jnp.zeros((n,), bool))
+
+
+@struct.dataclass
+class FeatureFrame:
+    """Per-frame feature set: 'full' clouds (map fodder / registration
+    targets) + 'down' clouds (registration sources), the cloudblock_t
+    equivalent (`utility.hpp:233-553`)."""
+
+    full: Dict[str, FeatureCloud]
+    down: Dict[str, FeatureCloud]
+    descriptors: VertexDescriptors
+    # frame metadata
+    bbx_min: jnp.ndarray  # [3]
+    bbx_max: jnp.ndarray  # [3]
+
+    @staticmethod
+    def empty(shapes, feature_cfg) -> "FeatureFrame":
+        full = {n: FeatureCloud.empty(shapes.full_capacity(n)) for n in FEATURE_NAMES}
+        down = {
+            "ground": FeatureCloud.empty(feature_cfg.ground_down_fixed_num),
+            "pillar": FeatureCloud.empty(feature_cfg.pillar_down_fixed_num),
+            "facade": FeatureCloud.empty(feature_cfg.facade_down_fixed_num),
+            "beam": FeatureCloud.empty(feature_cfg.beam_down_fixed_num),
+            "roof": FeatureCloud.empty(feature_cfg.roof_down_fixed_num),
+            "vertex": FeatureCloud.empty(feature_cfg.vertex_keep_num),
+        }
+        return FeatureFrame(
+            full=full, down=down,
+            descriptors=VertexDescriptors.empty(feature_cfg.vertex_keep_num),
+            bbx_min=jnp.zeros((3,), jnp.float32),
+            bbx_max=jnp.zeros((3,), jnp.float32),
+        )
+
+
+# --- masked helpers ---------------------------------------------------------
+
+_BIG = 1e30
+
+
+def masked_min(x: jnp.ndarray, mask: jnp.ndarray, axis=None):
+    return jnp.min(jnp.where(mask, x, _BIG), axis=axis)
+
+
+def masked_max(x: jnp.ndarray, mask: jnp.ndarray, axis=None):
+    return jnp.max(jnp.where(mask, x, -_BIG), axis=axis)
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None):
+    s = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
+    n = jnp.maximum(jnp.sum(mask, axis=axis), 1)
+    return s / n
+
+
+def compact_topk_random(mask: jnp.ndarray, k: int, key: jax.Array,
+                        prefer: jnp.ndarray | None = None):
+    """Pick up to ``k`` valid rows uniformly at random (the TPU-native
+    equivalent of the reference's `random_downsample_pcl` fixed-num path,
+    `cfilter.hpp:606-754`).  Returns (indices [k], valid [k]).
+
+    ``prefer`` (optional, same shape as mask, >=0) biases selection:
+    rows with larger values win ties deterministically.
+    """
+    score = jax.random.uniform(key, mask.shape)
+    if prefer is not None:
+        score = score + prefer
+    score = jnp.where(mask, score, -_BIG)
+    _, idx = jax.lax.top_k(score, k)
+    valid = mask[idx]
+    return idx, valid
+
+
+def compact_topk_score(mask: jnp.ndarray, score: jnp.ndarray, k: int):
+    """Pick the top-k valid rows by score. Returns (indices [k], valid [k])."""
+    s = jnp.where(mask, score, -_BIG)
+    _, idx = jax.lax.top_k(s, k)
+    return idx, mask[idx]

@@ -1,0 +1,149 @@
+"""Folder datasets + padding to the static shape contract (host side).
+
+The reference scans a folder (optionally via ``_filelist.txt``) and
+dispatches on extension (`dataio.hpp:875-1086, 1732`).  Here a
+:class:`FolderDataset` yields numpy dicts padded to ``ShapeConfig.n_raw``
+with validity masks, ready to be shipped to device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from mulls_tpu.io.kitti import read_kitti_bin, read_kitti_labels
+from mulls_tpu.io.pcd import read_pcd
+
+_EXTS = (".pcd", ".bin", ".txt", ".csv", ".ply", ".las", ".h5")
+
+
+def read_point_cloud(path: str) -> dict:
+    """Extension-dispatching reader (parity: `dataio.hpp:147-446`).
+    Returns {'xyz': [N,3] f32, 'intensity': [N] f32, ...}."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".pcd":
+        return read_pcd(path)
+    if ext == ".bin":
+        return read_kitti_bin(path)
+    if ext in (".txt", ".csv"):
+        delim = "," if ext == ".csv" else None
+        raw = np.loadtxt(path, delimiter=delim, dtype=np.float64)
+        raw = np.atleast_2d(raw)
+        out = {"xyz": raw[:, :3].astype(np.float32)}
+        out["intensity"] = (raw[:, 3].astype(np.float32) if raw.shape[1] > 3
+                            else np.zeros(len(raw), np.float32))
+        return out
+    if ext == ".ply":
+        return _read_ply(path)
+    raise ValueError(f"unsupported point cloud format: {ext}")
+
+
+def _read_ply(path: str) -> dict:
+    """Minimal PLY reader (ascii + binary_little_endian, float32 props)."""
+    with open(path, "rb") as f:
+        fmt = None
+        n = 0
+        props: List[str] = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                n = int(line.split()[2])
+            elif line.startswith("property") and n and "list" not in line:
+                props.append(line.split()[-1])
+            elif line == "end_header":
+                break
+        dtype = np.dtype([(p, "f4") for p in props])
+        if fmt == "ascii":
+            raw = np.loadtxt(f, dtype=np.float32, max_rows=n)
+            arr = np.core.records.fromarrays(np.atleast_2d(raw).T, dtype=dtype)
+        else:
+            arr = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
+    out = {"xyz": np.stack([arr["x"], arr["y"], arr["z"]], -1).astype(np.float32)}
+    out["intensity"] = (np.asarray(arr["intensity"], np.float32)
+                        if "intensity" in props else np.zeros(n, np.float32))
+    return out
+
+
+def pad_cloud(data: dict, n_raw: int, rng: Optional[np.random.Generator] = None
+              ) -> dict:
+    """Pad (or subsample) to the static capacity; adds 'mask' and 'ts_ratio'.
+
+    If the scan exceeds capacity, a uniform random subset is kept (the
+    reference would keep all points; capacity is sized to avoid this on the
+    target datasets).
+    """
+    xyz = data["xyz"]
+    n = len(xyz)
+    intensity = data.get("intensity", np.zeros(n, np.float32))
+    ts = data.get("ts_ratio")
+    if ts is None:
+        # azimuth fallback prep is done on device; store ordinal ratio here
+        ts = (np.arange(n, dtype=np.float32) / max(n - 1, 1))
+    if n > n_raw:
+        rng = rng or np.random.default_rng(0)
+        keep = rng.choice(n, n_raw, replace=False)
+        keep.sort()
+        xyz, intensity, ts = xyz[keep], intensity[keep], ts[keep]
+        n = n_raw
+    out_xyz = np.zeros((n_raw, 3), np.float32)
+    out_int = np.zeros((n_raw,), np.float32)
+    out_ts = np.zeros((n_raw,), np.float32)
+    mask = np.zeros((n_raw,), bool)
+    out_xyz[:n] = xyz
+    out_int[:n] = np.asarray(intensity, np.float32).reshape(-1)[:n]
+    out_ts[:n] = ts
+    mask[:n] = True
+    return {"xyz": out_xyz, "intensity": out_int, "ts_ratio": out_ts,
+            "mask": mask}
+
+
+class FolderDataset:
+    """Iterates a folder of point-cloud files in sorted order, padded to the
+    shape contract.  Mirrors `batch_read_filenames_in_folder` +
+    `read_pc_cloud_block` (`dataio.hpp:875-1086`)."""
+
+    def __init__(self, root: str, n_raw: int, ext: Optional[str] = None,
+                 begin: int = 0, end: Optional[int] = None, step: int = 1):
+        names = sorted(os.listdir(root))
+        files = [os.path.join(root, f) for f in names
+                 if f.lower().endswith(ext or _EXTS)]
+        self.files = files[begin:end:step]
+        self.n_raw = n_raw
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> dict:
+        return pad_cloud(read_point_cloud(self.files[i]), self.n_raw)
+
+    def __iter__(self) -> Iterator[dict]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+class SemanticKittiDataset(FolderDataset):
+    """KITTI velodyne folder + Semantic-KITTI labels folder
+    (`cfilter.hpp:2448-2608`, `tools/semantic_kitti_api.h`)."""
+
+    def __init__(self, velodyne_root: str, label_root: str, n_raw: int,
+                 begin: int = 0, end: Optional[int] = None, step: int = 1):
+        super().__init__(velodyne_root, n_raw, ext=".bin", begin=begin,
+                         end=end, step=step)
+        self.label_files = [
+            os.path.join(label_root,
+                         os.path.splitext(os.path.basename(f))[0] + ".label")
+            for f in self.files]
+
+    def __getitem__(self, i: int) -> dict:
+        data = read_point_cloud(self.files[i])
+        labels = read_kitti_labels(self.label_files[i])
+        data["label"] = labels
+        out = pad_cloud(data, self.n_raw)
+        lab = np.zeros((self.n_raw,), np.int32)
+        lab[:min(len(labels), self.n_raw)] = labels[:self.n_raw]
+        out["label"] = lab
+        return out
