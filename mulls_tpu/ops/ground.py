@@ -1,0 +1,200 @@
+"""Dual-threshold grid ground filter (reference `cfilter.hpp:1658-2036`),
+re-designed as segment reductions over a static 2D grid.
+
+Reference semantics preserved:
+  * approximate mean height -> non-ground pre-gate (z > mean + gf_max_h)
+  * per-cell min-z (scatter-min), 3x3 neighbor min-z + reliable-neighbor
+    count over interior cells only
+  * ground grid test: min_z - neighbor_min_z < gf_neigh_grid_h_thre
+  * point-level: ground iff z - cell_min_z < gf_in_grid_h_thre, else
+    unground with height-above-ground in `height`
+  * distance-weighted stochastic downsampling (linear / quadratic inverse)
+  * high-intensity keep exception
+  * ground normals: (0,0,1) | radius-PCA | kNN-PCA | per-cell plane fit
+
+TPU deviations (documented):
+  * the grid is a static ``G x G`` window anchored at the cloud's min corner
+    (points outside are treated as unground) instead of a per-frame
+    `ceil(extent/res)` allocation;
+  * systematic `j % rate == 0` sampling becomes Bernoulli(1/rate);
+  * per-cell RANSAC plane (method 3) becomes a per-cell least-squares plane
+    from the cell's second moments over the in-band ground points — all
+    cells solved at once by the closed-form 3x3 eigensolver.  The |nz| > 0.8
+    acceptance gate is kept (`cfilter.hpp:1913`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mulls_tpu.config import GroundFilterConfig, ShapeConfig
+from mulls_tpu.ops.pca import eigh_sym3x3
+
+_BIG = 1.0e30
+
+
+class GroundResult(NamedTuple):
+    is_ground: jnp.ndarray  # [N] bool (post down-sampling keep mask)
+    is_unground: jnp.ndarray  # [N] bool (post down-sampling keep mask)
+    height: jnp.ndarray  # [N] f32 height above ground (`data[3]` parity)
+    normal: jnp.ndarray  # [N, 3] f32 ground normal per ground point
+    cell_id: jnp.ndarray  # [N] int32 (for debugging / tests)
+
+
+def _min_pool3(grid: jnp.ndarray) -> jnp.ndarray:
+    """3x3 min over a [G, G] grid, interior cells only (border cells keep
+    their own value, parity with `cfilter.hpp:1793-1810`)."""
+    g = jnp.pad(grid, 1, constant_values=_BIG)
+    m = grid
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            m = jnp.minimum(m, g[1 + di:grid.shape[0] + 1 + di,
+                                 1 + dj:grid.shape[1] + 1 + dj])
+    interior = jnp.zeros_like(grid, bool).at[1:-1, 1:-1].set(True)
+    return jnp.where(interior, m, grid)
+
+
+def _sum_pool3(grid: jnp.ndarray) -> jnp.ndarray:
+    g = jnp.pad(grid, 1)
+    s = jnp.zeros_like(grid)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            s = s + g[1 + di:grid.shape[0] + 1 + di,
+                      1 + dj:grid.shape[1] + 1 + dj]
+    return s
+
+
+def fast_ground_filter(
+    xyz: jnp.ndarray,
+    intensity: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: GroundFilterConfig,
+    shapes: ShapeConfig,
+    key: jax.Array,
+    fixed_num_downsampling: bool = True,
+) -> GroundResult:
+    n = xyz.shape[0]
+    g = shapes.grid_dim
+    num_cells = g * g
+    res = cfg.gf_grid_size
+
+    z = xyz[:, 2]
+    mean_z = jnp.sum(jnp.where(mask, z, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
+    non_ground_z = mean_z + cfg.gf_max_h
+
+    # static grid anchored at the min corner
+    bb_min = jnp.min(jnp.where(mask[:, None], xyz[:, :2], _BIG), axis=0)
+    col = jnp.floor((xyz[:, 0] - bb_min[0]) / res).astype(jnp.int32)
+    row = jnp.floor((xyz[:, 1] - bb_min[1]) / res).astype(jnp.int32)
+    in_grid = mask & (col >= 0) & (col < g) & (row >= 0) & (row < g)
+    cell = jnp.where(in_grid, row * g + col, num_cells).astype(jnp.int32)
+
+    # points participating in the ground grid stats: below the pre-gate
+    below = in_grid & (z <= non_ground_z)
+    cell_stat = jnp.where(below, cell, num_cells)
+
+    seg_min_z = jax.ops.segment_min(
+        jnp.where(below, z, _BIG), cell_stat, num_segments=num_cells + 1)[:num_cells]
+    seg_cnt = jax.ops.segment_sum(
+        below.astype(jnp.int32), cell_stat, num_segments=num_cells + 1)[:num_cells]
+    # cell distance-to-station (mean range of the cell's points; the
+    # reference uses the first point's range, `cfilter.hpp:1735-1738`)
+    rng_all = jnp.linalg.norm(xyz, axis=1)
+    seg_rng = jax.ops.segment_sum(
+        jnp.where(below, rng_all, 0.0), cell_stat, num_segments=num_cells + 1)[:num_cells]
+    cell_dist = seg_rng / jnp.maximum(seg_cnt, 1)
+
+    min_z = seg_min_z.reshape(g, g)
+    neigh_min_z = _min_pool3(min_z)
+    occupied = (seg_cnt >= cfg.gf_grid_min_pt_num).reshape(g, g)
+    reliable = _sum_pool3(occupied.astype(jnp.int32))
+    interior = jnp.zeros((g, g), bool).at[1:-1, 1:-1].set(True)
+    reliable = jnp.where(interior, reliable, 0)
+
+    cell_ok = occupied & (reliable >= cfg.gf_reliable_neighbor_grid_thre)
+    cell_is_ground = cell_ok & ((min_z - neigh_min_z) < cfg.gf_neigh_grid_h_thre)
+
+    flat = lambda a: a.reshape(-1)
+    p_cell_ok = jnp.where(in_grid, flat(cell_ok)[jnp.clip(cell, 0, num_cells - 1)], False)
+    p_cell_ground = jnp.where(in_grid, flat(cell_is_ground)[jnp.clip(cell, 0, num_cells - 1)], False)
+    p_min_z = flat(min_z)[jnp.clip(cell, 0, num_cells - 1)]
+    p_neigh_min_z = flat(neigh_min_z)[jnp.clip(cell, 0, num_cells - 1)]
+    p_cell_dist = flat(cell_dist.reshape(-1))[jnp.clip(cell, 0, num_cells - 1)]
+
+    pre_unground = mask & (z > non_ground_z)  # `cfilter.hpp:1740-1754`
+    band = below & p_cell_ok & p_cell_ground & ((z - p_min_z) < cfg.gf_in_grid_h_thre)
+    in_cell_unground = below & p_cell_ok & p_cell_ground & ~band
+    nonground_cell = below & p_cell_ok & ~p_cell_ground
+    # points in cells failing min-pt-num / reliability are dropped by the
+    # reference (never pushed); same here.
+
+    # heights above ground (`data[3]`): pre-gate points use mean-3 baseline
+    height = jnp.where(pre_unground, z - (mean_z - 3.0),
+                       jnp.where(in_cell_unground, z - p_min_z,
+                                 jnp.where(nonground_cell, z - p_neigh_min_z, 0.0)))
+
+    # distance-weighted stochastic downsampling rates
+    def rate_from_dist(dist, base_rate):
+        w = cfg.standard_distance / (dist + 1e-4)
+        if cfg.dist_inverse_sampling_method == 1:
+            return w * base_rate + 1.0
+        if cfg.dist_inverse_sampling_method == 2:
+            return w * w * base_rate + 1.0
+        return jnp.full_like(dist, float(base_rate))
+
+    kg, ku1, ku2 = jax.random.split(key, 3)
+    high_intensity = intensity > cfg.intensity_thre_nonground
+
+    ug_rate = rate_from_dist(jnp.where(pre_unground, rng_all, p_cell_dist),
+                             cfg.gf_nonground_down_rate)
+    u = jax.random.uniform(ku1, (n,))
+    ug_keep = (u * jnp.maximum(ug_rate, 1.0) < 1.0) | high_intensity
+    is_unground = (pre_unground | in_cell_unground | nonground_cell) & ug_keep
+
+    if fixed_num_downsampling:
+        # keep the full in-band ground set; the fixed-num budget picks later
+        g_keep = jnp.ones((n,), bool)
+    else:
+        g_rate = rate_from_dist(p_cell_dist, cfg.gf_ground_down_rate)
+        g_keep = jax.random.uniform(kg, (n,)) * jnp.maximum(g_rate, 1.0) < 1.0
+    is_ground = band & g_keep
+
+    # --- ground normals -----------------------------------------------------
+    if cfg.ground_normal_method == 3:
+        # per-cell LS plane from in-band second moments
+        gm = band
+        gcell = jnp.where(gm, cell, num_cells)
+        x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        feats = jnp.stack([jnp.ones_like(x), x, y, zz,
+                           x * x, x * y, x * zz, y * y, y * zz, zz * zz], -1)
+        feats = jnp.where(gm[:, None], feats, 0.0)
+        sums = jax.ops.segment_sum(feats, gcell, num_segments=num_cells + 1)[:num_cells]
+        cnt = jnp.maximum(sums[:, 0], 1.0)
+        meanp = sums[:, 1:4] / cnt[:, None]
+        exx = sums[:, 4:10] / cnt[:, None]
+        mx, my, mz = meanp[:, 0], meanp[:, 1], meanp[:, 2]
+        cov = jnp.stack([
+            exx[:, 0] - mx * mx, exx[:, 1] - mx * my, exx[:, 2] - mx * mz,
+            exx[:, 1] - mx * my, exx[:, 3] - my * my, exx[:, 4] - my * mz,
+            exx[:, 2] - mx * mz, exx[:, 4] - my * mz, exx[:, 5] - mz * mz,
+        ], -1).reshape(-1, 3, 3)
+        _, vecs = eigh_sym3x3(cov)
+        nrm = vecs[..., 2]  # smallest eigvec = plane normal
+        nrm = nrm * jnp.where(nrm[:, 2:3] < 0, -1.0, 1.0)
+        cell_nz_ok = (jnp.abs(nrm[:, 2]) > 0.8) & (sums[:, 0] >= cfg.gf_grid_min_pt_num)
+        p_nrm = nrm[jnp.clip(cell, 0, num_cells - 1)]
+        p_nz_ok = cell_nz_ok[jnp.clip(cell, 0, num_cells - 1)]
+        normal = jnp.where(p_nz_ok[:, None], p_nrm,
+                           jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0))
+        # reference drops ground points whose cell plane is too steep
+        is_ground = is_ground & p_nz_ok
+    else:
+        # method 0 here; methods 1/2 (radius/kNN PCA on the ground cloud)
+        # are applied by the caller via ops.pca on the compacted ground set
+        normal = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+
+    return GroundResult(is_ground=is_ground, is_unground=is_unground,
+                        height=height, normal=normal, cell_id=cell)

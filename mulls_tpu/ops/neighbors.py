@@ -1,0 +1,162 @@
+"""Neighborhood queries without kd-trees — the load-bearing TPU design.
+
+Every nearest-neighbor / radius query in the reference (PCA neighborhoods
+`pca.hpp:294-354`, ICP correspondences `cregistration.hpp:1701-1835`, dynamic
+removal `map_manager.cpp:145-256`) is replaced by tiled brute-force distance
+computation on the MXU:
+
+* :func:`radius_moments` — for radius-PCA we never materialize neighbor
+  lists.  PCA needs only *sums* over the neighborhood (count, Σx, Σxxᵀ), and
+  any per-point attribute sum (class one-hots for the NCC descriptor) is the
+  same masked matmul: ``S = A @ F`` where ``A`` is the [Q, P] 0/1 adjacency
+  from a tiled distance computation and ``F`` is a [P, 10+F] feature stack.
+  This turns the reference's pointer-chasing kd-tree walks into dense
+  matmuls with a [Q, P] working set that is tiled over P-chunks.
+* :func:`nearest_neighbor` — tiled 1-NN with a running (dist, idx) argmin.
+
+Workloads (KITTI config): PCA is 20k x 20k (~16 GFLOP/frame in f32), ICP
+correspondence is ~2.6k x 20k per iteration — both MXU-bound, not
+bandwidth-bound, because the chunked distance tile stays in registers/VMEM
+between the compare and the moment matmul after XLA fusion.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 3.0e38
+
+
+def _pad_rows(x: jnp.ndarray, n: int):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths)
+
+
+def pairwise_sqdist(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """[Q,3] x [P,3] -> [Q,P] squared distances (f32 matmul path)."""
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    p2 = jnp.sum(p * p, axis=-1, keepdims=True).T
+    cross = q @ p.T
+    return jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)
+
+
+def radius_moments(
+    q_xyz: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    p_xyz: jnp.ndarray,
+    p_mask: jnp.ndarray,
+    radius: jnp.ndarray,
+    p_feats: Optional[jnp.ndarray] = None,
+    close_fraction_sq: Optional[float] = None,
+    chunk: int = 1024,
+) -> dict:
+    """Masked neighborhood sums for all queries.
+
+    Args:
+      q_xyz/q_mask: [Q,3]/[Q] query points.
+      p_xyz/p_mask: [P,3]/[P] support points.
+      radius: scalar or [Q] per-query radius (distance-adaptive PCA,
+        `pca.hpp:314-324`).
+      p_feats: optional [P,F] per-support features to sum over neighbors.
+      close_fraction_sq: if set (e.g. 0.64 per `pca.hpp:338`), also returns
+        sums over the "close" sub-neighborhood d^2 < frac * r^2.
+
+    Returns dict with:
+      count [Q], sum_xyz [Q,3], sum_outer [Q,6] (xx,xy,xz,yy,yz,zz),
+      feat_sum [Q,F] (if p_feats), and close_count / close_feat_sum
+      (if close_fraction_sq).
+    """
+    qn = q_xyz.shape[0]
+    r2 = jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (qn,))
+
+    x, y, z = p_xyz[:, 0], p_xyz[:, 1], p_xyz[:, 2]
+    cols = [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
+    n_base = len(cols)
+    nf = 0
+    if p_feats is not None:
+        nf = p_feats.shape[1]
+        cols.append(p_feats.astype(jnp.float32))
+    feat_stack = jnp.concatenate(
+        [c[:, None] if c.ndim == 1 else c for c in cols], axis=1)  # [P, 10+F]
+    pmask_f = p_mask.astype(jnp.float32)
+
+    qpad = -qn % chunk
+    q_xyz_p = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
+    q_mask_p = _pad_rows(q_mask, qn + qpad).reshape(-1, chunk)
+    r2_p = _pad_rows(r2, qn + qpad).reshape(-1, chunk)
+
+    def one_chunk(args):
+        qc, qm, r2c = args
+        d2 = pairwise_sqdist(qc, p_xyz)  # [chunk, P]
+        adj = (d2 <= r2c[:, None]).astype(jnp.float32) * pmask_f[None, :]
+        adj = adj * qm[:, None].astype(jnp.float32)
+        sums = adj @ feat_stack  # [chunk, 10+F]
+        if close_fraction_sq is not None:
+            close = (d2 <= close_fraction_sq * r2c[:, None]).astype(jnp.float32)
+            close = close * adj
+            csums = close @ feat_stack
+            return sums, csums
+        return sums, jnp.zeros((qc.shape[0], 0), jnp.float32)
+
+    sums, csums = jax.lax.map(one_chunk, (q_xyz_p, q_mask_p, r2_p))
+    sums = sums.reshape(-1, sums.shape[-1])[:qn]
+    out = {
+        "count": sums[:, 0],
+        "sum_xyz": sums[:, 1:4],
+        "sum_outer": sums[:, 4:10],
+    }
+    if p_feats is not None:
+        out["feat_sum"] = sums[:, n_base:]
+    if close_fraction_sq is not None:
+        csums = csums.reshape(-1, csums.shape[-1])[:qn]
+        out["close_count"] = csums[:, 0]
+        if p_feats is not None:
+            out["close_feat_sum"] = csums[:, n_base:]
+    return out
+
+
+def cov_from_moments(count: jnp.ndarray, sum_xyz: jnp.ndarray,
+                     sum_outer: jnp.ndarray) -> jnp.ndarray:
+    """[Q] count, [Q,3] Σx, [Q,6] Σ(xxᵀ upper) -> [Q,3,3] covariance."""
+    n = jnp.maximum(count, 1.0)[:, None]
+    mean = sum_xyz / n
+    exx = sum_outer / n[:, :1]
+    xx, xy, xz, yy, yz, zz = (exx[:, i] for i in range(6))
+    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    c = jnp.stack([
+        xx - mx * mx, xy - mx * my, xz - mx * mz,
+        xy - mx * my, yy - my * my, yz - my * mz,
+        xz - mx * mz, yz - my * mz, zz - mz * mz,
+    ], axis=-1).reshape(-1, 3, 3)
+    return c
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nearest_neighbor(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
+                     p_xyz: jnp.ndarray, p_mask: jnp.ndarray,
+                     chunk: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tiled brute-force 1-NN: returns (idx [Q] int32, sqdist [Q] f32).
+    Invalid queries / empty support get sqdist = +inf-like sentinel."""
+    qn = q_xyz.shape[0]
+    qpad = -qn % chunk
+    q_xyz_p = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
+    inval = jnp.where(p_mask, 0.0, _BIG)[None, :]
+
+    def one_chunk(qc):
+        d2 = pairwise_sqdist(qc, p_xyz) + inval
+        idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(d2, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+        return idx, best
+
+    idx, best = jax.lax.map(one_chunk, q_xyz_p)
+    idx = idx.reshape(-1)[:qn]
+    best = best.reshape(-1)[:qn]
+    best = jnp.where(q_mask, best, _BIG)
+    return idx, best
