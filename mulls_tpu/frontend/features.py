@@ -1,0 +1,233 @@
+"""Per-frame feature extraction — the `extract_semantic_pts` equivalent
+(reference `cfilter.hpp:2295-2413` orchestrating `fast_ground_filter`,
+`get_pc_pca_feature`, `classify_nground_pts`, `encode_stable_points`,
+`non_max_suppress`, fixed-num budgets).
+
+Everything here is jit-compiled with static shapes; the output
+:class:`FeatureFrame` holds fixed-capacity masked clouds:
+
+  raw [N_raw] -> unground [20k] --PCA--> class masks -> full clouds
+  (budgeted compaction) -> NMS + sector-balanced budgets -> down clouds
+
+The PCA pass is the masked-matmul moment engine (ops.neighbors); the NCC
+descriptor pass reuses the same engine with class one-hot features over a
+budgeted vertex-candidate set.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mulls_tpu.config import MullsConfig
+from mulls_tpu.core.cloud import (FeatureCloud, FeatureFrame, RawCloud,
+                                  VertexDescriptors, compact_topk_random,
+                                  compact_topk_score, masked_max, masked_min)
+from mulls_tpu.ops import ground as ground_ops
+from mulls_tpu.ops import neighbors as nbr
+from mulls_tpu.ops import nms as nms_ops
+from mulls_tpu.ops import pca as pca_ops
+from mulls_tpu.ops import voxel as voxel_ops
+
+
+def _gather_cloud(xyz, normal, intensity, strength, height, ts, mask,
+                  capacity, key, prefer=None) -> FeatureCloud:
+    idx, valid = compact_topk_random(mask, capacity, key, prefer=prefer)
+    return FeatureCloud(
+        xyz=xyz[idx], normal=normal[idx], intensity=intensity[idx],
+        strength=strength[idx], height=height[idx], ts_ratio=ts[idx],
+        mask=valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
+                     ) -> FeatureFrame:
+    pre = cfg.preprocess
+    gcfg = cfg.ground
+    fcfg = cfg.feature
+    shapes = cfg.shapes
+    keys = jax.random.split(key, 16)
+
+    # --- pre-filtering (`mulls_slam.cpp:404-407`, `cfilter.hpp:2331-2343`)
+    mask = raw.mask
+    if pre.apply_dist_filter:
+        mask = voxel_ops.dist_filter_mask(raw.xyz, mask, pre.min_dist_used,
+                                          pre.max_dist_used)
+    if pre.apply_scanner_filter:
+        mask = voxel_ops.scanner_filter_mask(raw.xyz, mask,
+                                             pre.scanner_self_radius,
+                                             pre.underground_height_thre)
+    if pre.cloud_down_res > 0:
+        mask = mask & voxel_ops.voxel_downsample_mask(raw.xyz, mask,
+                                                      pre.cloud_down_res)
+
+    # --- ground / unground split (`cfilter.hpp:1658-2036`)
+    g = ground_ops.fast_ground_filter(
+        raw.xyz, raw.intensity, mask, gcfg, shapes, keys[0],
+        fixed_num_downsampling=fcfg.fixed_num_downsampling_on)
+
+    # --- compact the unground set to the PCA budget
+    ug_idx, ug_valid = compact_topk_random(g.is_unground,
+                                           shapes.n_unground, keys[1])
+    ug_xyz = raw.xyz[ug_idx]
+    ug_int = raw.intensity[ug_idx]
+    ug_ts = raw.ts_ratio[ug_idx]
+    ug_h = g.height[ug_idx]
+
+    # --- neighborhood PCA (`pca.hpp:294-354`)
+    feats = pca_ops.pca_features(
+        ug_xyz, ug_valid, ug_xyz, ug_valid,
+        radius=fcfg.cloud_pca_neigh_r, min_k=fcfg.cloud_pca_neigh_k_min,
+        distance_adaptive=fcfg.use_distance_adaptive_pca,
+        unit_dist=fcfg.unit_dist, chunk=1024)
+
+    # --- classification (`cfilter.hpp:2102-2168`)
+    sin_pillar = math.sin(math.radians(fcfg.pillar_direction_ang))
+    sin_beam = math.sin(math.radians(fcfg.beam_direction_ang))
+    sin_facade = math.sin(math.radians(fcfg.facade_normal_ang))
+    sin_roof = math.sin(math.radians(fcfg.roof_normal_ang))
+
+    pz = jnp.abs(feats.principal[:, 2])
+    nz = jnp.abs(feats.normal[:, 2])
+    z = ug_xyz[:, 2]
+    linear = feats.valid & (feats.linearity > fcfg.linearity_thre)
+    planar = feats.valid & ~linear & (feats.planarity > fcfg.planarity_thre)
+    is_pillar = linear & (pz > sin_pillar)
+    is_beam = linear & (pz < sin_beam) & (z < fcfg.beam_max_height)
+    is_roof = planar & (nz > sin_roof) & (z > fcfg.roof_height_min)
+    is_facade = planar & (nz < sin_facade)
+    class_id = (1 * is_pillar + 2 * is_beam + 3 * is_facade + 4 * is_roof
+                ).astype(jnp.int32)
+
+    # --- vertex candidates + NCC descriptor pass
+    # (`cfilter.hpp:2176-2226`, `encode_stable_points` :1071-1181)
+    # candidate queries for pass 2: all high-curvature points (stable-point
+    # gate 0.3*thre is a superset of the vertex-method-2 gate)
+    curv_gate = feats.valid & (feats.curvature > 0.3 * fcfg.curvature_thre)
+    cand_idx, cand_valid = compact_topk_score(
+        curv_gate, feats.curvature, shapes.n_vertex_full)
+    onehot = jax.nn.one_hot(class_id - 1, 4, dtype=jnp.float32)
+    onehot = onehot * ug_valid[:, None]
+    feat_stack = jnp.concatenate([onehot, ug_int[:, None]], axis=1)
+    m2 = nbr.radius_moments(
+        ug_xyz[cand_idx], cand_valid, ug_xyz, ug_valid,
+        jnp.float32(fcfg.cloud_pca_neigh_r), p_feats=feat_stack,
+        close_fraction_sq=0.64, chunk=512)
+    cand_count = jnp.maximum(m2["count"], 1.0)
+    class_counts = m2["feat_sum"][:, :4]  # pillar/beam/facade/roof
+    close_counts = m2["close_feat_sum"][:, :4]
+    far_counts = class_counts - close_counts
+    geo_count = jnp.sum(class_counts, axis=1)
+    mean_int = m2["feat_sum"][:, 4] / cand_count
+
+    # vertex-method-2: unclassified high-curvature points whose neighborhood
+    # is rich in feature points get promoted to pillar/beam
+    vertex_ratio_thre = fcfg.feature_pts_ratio_guess / fcfg.pca_down_rate
+    cand_curv = feats.curvature[cand_idx]
+    cand_class = class_id[cand_idx]
+    cand_pz = jnp.abs(feats.principal[cand_idx, 2])
+    cand_z = ug_xyz[cand_idx, 2]
+    promoted = (cand_valid & (cand_class == 0)
+                & (cand_curv > fcfg.curvature_thre)
+                & (geo_count / cand_count > vertex_ratio_thre))
+    promote_pillar = promoted & (cand_pz > sin_pillar)
+    promote_beam = promoted & (cand_pz < sin_beam) & (cand_z < fcfg.beam_max_height)
+    if fcfg.extract_vertex_points_method == 2:
+        is_pillar = is_pillar.at[cand_idx].set(
+            is_pillar[cand_idx] | promote_pillar)
+        is_beam = is_beam.at[cand_idx].set(is_beam[cand_idx] | promote_beam)
+
+    # stable keypoints (the vertex cloud): enough featured neighbors
+    min_neighbor_feature_pts = int(
+        fcfg.feature_pts_ratio_guess / fcfg.pca_down_rate
+        * fcfg.cloud_pca_neigh_k) - 1
+    stable = (cand_valid
+              & (m2["count"] > fcfg.cloud_pca_neigh_k_min)
+              & (geo_count >= min_neighbor_feature_pts))
+
+    # strengths (normal[3] parity): linearity for linear classes, planarity
+    # for planar, 5*curvature for promoted vertices
+    strength = jnp.where(is_pillar | is_beam, feats.linearity,
+                         jnp.where(is_facade | is_roof, feats.planarity, 0.0))
+    strength = strength.at[cand_idx].set(
+        jnp.where(promoted, 5.0 * cand_curv, strength[cand_idx]))
+    # direction vector: principal for linear, plane normal for planar
+    direction = jnp.where((is_pillar | is_beam)[:, None], feats.principal,
+                          feats.normal)
+
+    # --- build the full per-class clouds (budgeted compaction)
+    def unground_cloud(m, capacity, k):
+        return _gather_cloud(ug_xyz, direction, ug_int, strength, ug_h,
+                             ug_ts, m, capacity, k)
+
+    full = {}
+    full["pillar"] = unground_cloud(is_pillar, shapes.n_pillar_full, keys[2])
+    full["beam"] = unground_cloud(is_beam, shapes.n_beam_full, keys[3])
+    full["facade"] = unground_cloud(is_facade, shapes.n_facade_full, keys[4])
+    full["roof"] = unground_cloud(is_roof, shapes.n_roof_full, keys[5])
+
+    # ground full cloud (already rate-downsampled inside the filter when
+    # fixed-num is off; here we carry the full band and budget-compact)
+    gr_idx, gr_valid = compact_topk_random(g.is_ground, shapes.n_ground_full,
+                                           keys[6])
+    full["ground"] = FeatureCloud(
+        xyz=raw.xyz[gr_idx], normal=g.normal[gr_idx],
+        intensity=raw.intensity[gr_idx],
+        strength=jnp.zeros_like(raw.intensity[gr_idx]),
+        height=jnp.zeros_like(raw.intensity[gr_idx]),
+        ts_ratio=raw.ts_ratio[gr_idx], mask=gr_valid)
+
+    # vertex cloud: stable keypoints, curvature saliency
+    vx_idx, vx_valid = compact_topk_score(stable, cand_curv,
+                                          fcfg.vertex_keep_num)
+    gi = cand_idx[vx_idx]
+    full["vertex"] = FeatureCloud(
+        xyz=ug_xyz[gi], normal=feats.principal[gi],
+        intensity=mean_int[vx_idx], strength=5.0 * feats.curvature[gi],
+        height=ug_h[gi], ts_ratio=ug_ts[gi], mask=vx_valid)
+    pct = lambda c: jnp.floor(100.0 * c / cand_count[:, None])
+    desc_vec = jnp.concatenate([
+        pct(close_counts)[vx_idx], pct(far_counts)[vx_idx],
+        mean_int[vx_idx, None], (feats.curvature[gi] * 100.0)[:, None],
+        (ug_h[gi] * 30.0)[:, None]], axis=1)
+    descriptors = VertexDescriptors(vec=desc_vec, mask=vx_valid)
+
+    # --- NMS sharpening + fixed budgets -> down clouds
+    # (`cfilter.hpp:2233-2270`)
+    nms_radius = 0.25 * fcfg.cloud_pca_neigh_r
+    down = {}
+
+    def sharpened(cloud: FeatureCloud, budget: int, k, sector: bool
+                  ) -> FeatureCloud:
+        keep = cloud.mask
+        if fcfg.sharpen_with_nms_on:
+            keep = nms_ops.non_max_suppress(cloud.xyz, cloud.strength,
+                                            cloud.mask, nms_radius,
+                                            iterations=fcfg.nms_iterations)
+        if sector:
+            keep = voxel_ops.xy_normal_balanced_mask(
+                cloud.normal, keep, budget // fcfg.xy_balanced_sector_num,
+                fcfg.xy_balanced_sector_num, k)
+        idx, valid = compact_topk_random(keep, budget, k)
+        return cloud.gather(idx, valid)
+
+    down["pillar"] = sharpened(full["pillar"], fcfg.pillar_down_fixed_num,
+                               keys[7], sector=False)
+    down["facade"] = sharpened(full["facade"], fcfg.facade_down_fixed_num,
+                               keys[8], sector=True)
+    down["beam"] = sharpened(full["beam"], fcfg.beam_down_fixed_num,
+                             keys[9], sector=True)
+    down["roof"] = sharpened(full["roof"], fcfg.roof_down_fixed_num,
+                             keys[10], sector=False)
+    gd_idx, gd_valid = compact_topk_random(full["ground"].mask,
+                                           fcfg.ground_down_fixed_num, keys[11])
+    down["ground"] = full["ground"].gather(gd_idx, gd_valid)
+    down["vertex"] = full["vertex"]
+
+    bbx_min = masked_min(raw.xyz, mask[:, None], axis=0)
+    bbx_max = masked_max(raw.xyz, mask[:, None], axis=0)
+    return FeatureFrame(full=full, down=down, descriptors=descriptors,
+                        bbx_min=bbx_min, bbx_max=bbx_max)
