@@ -26,7 +26,20 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Honor an explicit JAX_PLATFORMS env var even on hosts whose sitecustomize
+# force-selects an accelerator plugin via jax.config (which outranks the env
+# var) — otherwise "JAX_PLATFORMS=cpu" runs would silently execute on the
+# tunneled TPU and serialize against other clients.
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
 
 # Geometry everywhere: distances, covariances and normal equations need f32
 # accumulation.  TPU matmuls default to bf16 inputs, which costs ~0.4 m of

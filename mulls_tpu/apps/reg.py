@@ -1,0 +1,126 @@
+"""mulls_reg-equivalent CLI: pairwise point-cloud registration
+(reference `test/mulls_reg.cpp:61-209`): load two clouds, extract features,
+NCC keypoint matching, robust coarse registration (GNC / RANSAC), then
+MULLS-ICP fine registration; writes the transformed source cloud and prints
+the estimated transform + quality stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from mulls_tpu.config import MullsConfig, load_flagfile
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--point_cloud_1_path", required=True, help="target")
+    p.add_argument("--point_cloud_2_path", required=True, help="source")
+    p.add_argument("--output_point_cloud_path", default=None)
+    p.add_argument("--appro_coordinate_file", default=None,
+                   help="4x4 initial guess, whitespace separated")
+    p.add_argument("--flagfile", default=None)
+    p.add_argument("--realtime_viewer_on", action="store_true",
+                   help="ignored (headless build)")
+    p.add_argument("--coarse_reg", choices=["gnc", "ransac", "none"],
+                   default="gnc")
+    p.add_argument("--json_out", default=None)
+    return p
+
+
+def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
+                  coarse: str = "gnc", init_guess=None):
+    """Full MULLS-Reg path on device. Returns (T 4x4 np, stats dict)."""
+    import jax
+    import jax.numpy as jnp
+    from mulls_tpu.core.cloud import RawCloud
+    from mulls_tpu.frontend.features import extract_features
+    from mulls_tpu.frontend.icp import mm_lls_icp
+    from mulls_tpu.backend.ncc import match_ncc
+    from mulls_tpu.backend import coarse_reg as cr
+    from mulls_tpu.io.dataset import pad_cloud
+
+    def to_raw(d):
+        p = pad_cloud(d, cfg.shapes.n_raw)
+        return RawCloud(xyz=jnp.asarray(p["xyz"]),
+                        intensity=jnp.asarray(p["intensity"]),
+                        ts_ratio=jnp.asarray(p["ts_ratio"]),
+                        mask=jnp.asarray(p["mask"]))
+
+    extract = jax.jit(extract_features, static_argnames=("cfg",))
+    ft = extract(to_raw(cloud_target), cfg, jax.random.key(1))
+    fs = extract(to_raw(cloud_source), cfg, jax.random.key(2))
+
+    stats = {}
+    T0 = jnp.eye(4, dtype=jnp.float32) if init_guess is None \
+        else jnp.asarray(init_guess, jnp.float32)
+    if coarse != "none":
+        m = match_ncc(ft.descriptors, fs.descriptors,
+                      fixed_num_corr=cfg.submap.best_n_feature_match_on,
+                      corr_num=cfg.submap.feature_corr_num,
+                      reciprocal=cfg.submap.reciprocal_feature_match_on)
+        src_k = fs.down["vertex"].xyz[m.s_idx]
+        tgt_k = ft.down["vertex"].xyz[m.t_idx]
+        mask = m.valid & fs.down["vertex"].mask[m.s_idx] \
+            & ft.down["vertex"].mask[m.t_idx]
+        nb = cfg.feature.cloud_pca_neigh_r
+        if coarse == "gnc":
+            res_c = cr.coarse_reg_gnc(
+                src_k, tgt_k, mask, jax.random.key(3), noise_bound=nb,
+                min_inlier_count=cfg.submap.teaser_min_inlier_count)
+        else:
+            res_c = cr.coarse_reg_ransac(
+                src_k, tgt_k, mask, jax.random.key(3), inlier_thre=2 * nb,
+                min_inlier_count=cfg.submap.teaser_min_inlier_count)
+        stats["coarse_inliers"] = int(res_c.inlier_count)
+        stats["coarse_valid"] = bool(res_c.valid)
+        if bool(res_c.valid):
+            T0 = res_c.transform
+
+    reg = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))
+    res = reg(fs.down, ft.full, cfg.reg, T0,
+              max_iter=cfg.reg.reg_max_iter_num_s2s)
+    stats.update({
+        "sigma": float(res.sigma),
+        "process_code": int(res.process_code),
+        "confidence": float(res.confidence),
+        "iterations": int(res.iterations),
+    })
+    return np.asarray(res.transform, np.float64), stats
+
+
+def main(argv=None) -> int:
+    from mulls_tpu.io.dataset import read_point_cloud
+    from mulls_tpu.io.pcd import write_pcd
+
+    args = build_parser().parse_args(argv)
+    cfg = (load_flagfile(args.flagfile) if args.flagfile else MullsConfig())
+    tgt = read_point_cloud(args.point_cloud_1_path)
+    src = read_point_cloud(args.point_cloud_2_path)
+    guess = None
+    if args.appro_coordinate_file:
+        guess = np.loadtxt(args.appro_coordinate_file).reshape(4, 4)
+
+    T, stats = register_pair(cfg, tgt, src, coarse=args.coarse_reg,
+                             init_guess=guess)
+    print("[mulls_tpu reg] T (source->target):")
+    print(np.array_str(T, precision=6, suppress_small=True))
+    print(f"[mulls_tpu reg] stats: {stats}")
+
+    if args.output_point_cloud_path:
+        moved = src["xyz"] @ T[:3, :3].T.astype(np.float32) + \
+            T[:3, 3].astype(np.float32)
+        write_pcd(args.output_point_cloud_path, moved,
+                  src.get("intensity"))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"transform": T.tolist(), **stats}, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

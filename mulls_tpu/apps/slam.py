@@ -1,0 +1,106 @@
+"""mulls_slam-equivalent CLI: LiDAR odometry / SLAM over a scan folder.
+
+Mirrors the reference driver's flags and outputs (`test/mulls_slam.cpp`):
+pose files in KITTI 3x4 format (readable by kitti_eval.py / evo), a timing
+report, and the built-in KITTI drift evaluation when ground truth is given.
+
+Usage:
+  python -m mulls_tpu.apps.slam \
+      --point_cloud_folder /data/kitti/00/velodyne \
+      --gt_body_pose_file_path /data/kitti/00/00.txt \
+      --calib_file_path /data/kitti/00/calib.txt \
+      --output_lo_body_pose_file_path out/pose_b_lo.txt \
+      --flagfile script/config/lo_gflag_list_kitti_urban.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from mulls_tpu.config import MullsConfig, load_flagfile
+from mulls_tpu.eval import kitti_metrics
+from mulls_tpu.io import kitti as kitti_io
+from mulls_tpu.io.dataset import FolderDataset
+from mulls_tpu.pipeline.odometry import OdometryPipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--point_cloud_folder", required=True)
+    p.add_argument("--pc_format", default=None, help=".pcd | .bin | ...")
+    p.add_argument("--flagfile", default=None)
+    p.add_argument("--frame_num_begin", type=int, default=0)
+    p.add_argument("--frame_num_end", type=int, default=None)
+    p.add_argument("--frame_step", type=int, default=1)
+    p.add_argument("--gt_body_pose_file_path", default=None)
+    p.add_argument("--calib_file_path", default=None)
+    p.add_argument("--output_adjacent_lo_pose_file_path", default=None)
+    p.add_argument("--output_lo_body_pose_file_path", default=None)
+    p.add_argument("--output_lo_lidar_pose_file_path", default=None)
+    p.add_argument("--timing_report_file", default=None)
+    p.add_argument("--evaluation_file", default=None)
+    p.add_argument("--progress", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = (load_flagfile(args.flagfile) if args.flagfile else MullsConfig())
+
+    ds = FolderDataset(args.point_cloud_folder, cfg.shapes.n_raw,
+                       ext=args.pc_format, begin=args.frame_num_begin,
+                       end=args.frame_num_end, step=args.frame_step)
+    print(f"[mulls_tpu] {len(ds)} frames from {args.point_cloud_folder}")
+
+    pipe = OdometryPipeline(cfg)
+    res = pipe.run(ds, progress=args.progress,
+                   profile=args.timing_report_file is not None)
+
+    poses_lidar = res.poses
+    if args.output_lo_lidar_pose_file_path:
+        os.makedirs(os.path.dirname(args.output_lo_lidar_pose_file_path)
+                    or ".", exist_ok=True)
+        kitti_io.write_kitti_poses(args.output_lo_lidar_pose_file_path,
+                                   poses_lidar)
+    if args.output_adjacent_lo_pose_file_path:
+        adj = np.einsum("nij,njk->nik",
+                        np.linalg.inv(poses_lidar[:-1]), poses_lidar[1:])
+        kitti_io.write_kitti_poses(args.output_adjacent_lo_pose_file_path, adj)
+
+    calib = (kitti_io.read_kitti_calib(args.calib_file_path)
+             if args.calib_file_path else np.eye(4))
+    poses_body = kitti_io.uncalibrate(poses_lidar, calib)
+    if args.output_lo_body_pose_file_path:
+        os.makedirs(os.path.dirname(args.output_lo_body_pose_file_path)
+                    or ".", exist_ok=True)
+        kitti_io.write_kitti_poses(args.output_lo_body_pose_file_path,
+                                   poses_body)
+
+    if args.timing_report_file and res.timings is not None:
+        np.savetxt(args.timing_report_file, res.timings, fmt="%.3f",
+                   header="feature_ms map_ms reg_ms loop_ms")
+    if res.timings is not None:
+        t = res.timings[1:]
+        print(f"[mulls_tpu] mean per-frame: total {t.sum(1).mean():.1f} ms "
+              f"(feature {t[:, 0].mean():.1f} | map {t[:, 1].mean():.1f} | "
+              f"reg {t[:, 2].mean():.1f} | loop {t[:, 3].mean():.1f})")
+
+    if args.gt_body_pose_file_path:
+        gt_body = kitti_io.read_kitti_poses(args.gt_body_pose_file_path)
+        m = min(len(gt_body), len(poses_body))
+        errs = kitti_metrics.compute_error(gt_body[:m], poses_body[:m])
+        summary = kitti_metrics.summarize(errs)
+        print(kitti_metrics.format_report(summary))
+        if args.evaluation_file:
+            with open(args.evaluation_file, "w") as f:
+                json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

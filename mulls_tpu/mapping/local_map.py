@@ -1,0 +1,120 @@
+"""Sliding local feature map as functional fixed-capacity buffers.
+
+Re-design of the reference MapManager (`src/map_manager.cpp:18-314`):
+mutable PCL clouds + kd-trees become per-class fixed-capacity masked tensors
+updated by pure functions (transform -> dynamic removal -> append -> radius
+crop -> random re-budget), so the whole map update is one jitted program and
+the map lives on device between frames.
+
+The map is kept in the coordinate frame of the last appended scan (like the
+reference, which re-transforms the map into the current frame each update —
+keeping coordinates small also protects f32 on TPU).
+
+Deviation: the reference re-budgets all classes proportionally against one
+global cap (`map_manager.cpp:73-86`); static shapes need fixed per-class
+caps (`MapShapeConfig`), sized to the same global budget at the typical
+class mix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mulls_tpu.config import MapConfig
+from mulls_tpu.core import se3
+from mulls_tpu.core.cloud import (FEATURE_NAMES, FeatureCloud, FeatureFrame,
+                                  VertexDescriptors, compact_topk_random)
+from mulls_tpu.ops.neighbors import nearest_neighbor
+
+_DYNAMIC_CLASSES = ("pillar", "beam", "facade")  # `map_manager.cpp:191-215`
+
+
+@struct.dataclass
+class LocalMap:
+    clouds: Dict[str, FeatureCloud]
+    vertex_desc: VertexDescriptors
+
+
+def init_local_map(map_cfg: MapConfig) -> LocalMap:
+    caps = map_cfg.shapes
+    clouds = {n: FeatureCloud.empty(caps.capacity(n)) for n in FEATURE_NAMES}
+    return LocalMap(clouds=clouds,
+                    vertex_desc=VertexDescriptors.empty(caps.capacity("vertex")))
+
+
+def _dynamic_removal_mask(cloud: FeatureCloud, map_cloud: FeatureCloud,
+                          center_radius: float, dist_min: float,
+                          dist_max: jnp.ndarray, near_thre: float,
+                          enabled: jnp.ndarray) -> jnp.ndarray:
+    """Frame-side mask: drop feature points near the scanner whose 1-NN map
+    distance falls in (0, near] U [dist_min, dist_max]
+    (`map_manager.cpp:145-256`)."""
+    _, d2 = nearest_neighbor(cloud.xyz, cloud.mask, map_cloud.xyz,
+                             map_cloud.mask)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    rng = jnp.linalg.norm(cloud.xyz, axis=-1)
+    in_scope = rng < center_radius
+    dynamic = (d <= near_thre) | ((d >= dist_min) & (d <= dist_max))
+    drop = in_scope & dynamic & enabled
+    return cloud.mask & ~drop
+
+
+@partial(jax.jit, static_argnames=("map_cfg",), donate_argnums=(0,))
+def update_local_map(local_map: LocalMap, frame: FeatureFrame,
+                     T_rel: jnp.ndarray, dynamic_dist_max: jnp.ndarray,
+                     map_cfg: MapConfig, key: jax.Array) -> LocalMap:
+    """Append ``frame`` (down clouds + vertex) to the map.
+
+    ``T_rel`` maps the new frame's coords into the current map frame (the
+    registration result).  The returned map lives in the new frame's coords.
+    """
+    caps = map_cfg.shapes
+    T_inv = se3.inverse(T_rel)
+    keys = jax.random.split(key, len(FEATURE_NAMES))
+
+    # global cap gate for dynamic removal (`map_manager.cpp:38`)
+    map_count = sum(local_map.clouds[n].count
+                    for n in ("ground", "pillar", "facade", "beam", "roof"))
+    removal_on = (jnp.bool_(map_cfg.map_based_dynamic_removal_on)
+                  & (map_count > map_cfg.local_map_max_pt_num // 5))
+    dist_max = jnp.maximum(dynamic_dist_max, map_cfg.dynamic_dist_thre_min + 0.1)
+
+    new_clouds = {}
+    new_desc = local_map.vertex_desc
+    for i, name in enumerate(FEATURE_NAMES):
+        old = local_map.clouds[name].transform(T_inv)  # into new frame coords
+        add = frame.down[name]
+        if name in _DYNAMIC_CLASSES:
+            keep = _dynamic_removal_mask(
+                add, old, map_cfg.dynamic_removal_radius,
+                map_cfg.dynamic_dist_thre_min, dist_max,
+                map_cfg.near_dist_thre, removal_on)
+            add = add.replace(mask=keep)
+        merged = old.concat(add)
+        # sphere crop (`map_manager.cpp:62-67`)
+        rng = jnp.linalg.norm(merged.xyz, axis=-1)
+        merged = merged.replace(
+            mask=merged.mask & (rng < map_cfg.local_map_radius))
+        # re-budget to the static cap, new points first (they are the
+        # freshest observation; the reference random-downsamples uniformly)
+        cap = caps.capacity(name)
+        fresh = jnp.concatenate([
+            jnp.zeros((old.capacity,), jnp.float32),
+            jnp.full((add.capacity,), 0.5, jnp.float32)])
+        idx, valid = compact_topk_random(merged.mask, cap, keys[i],
+                                         prefer=fresh)
+        new_clouds[name] = merged.gather(idx, valid)
+        if name == "vertex":
+            desc_vec = jnp.concatenate([local_map.vertex_desc.vec,
+                                        frame.descriptors.vec], axis=0)
+            desc_mask = jnp.concatenate([local_map.vertex_desc.mask,
+                                         frame.descriptors.mask], axis=0)
+            new_desc = VertexDescriptors(vec=desc_vec[idx],
+                                         mask=valid & desc_mask[idx])
+
+    return LocalMap(clouds=new_clouds, vertex_desc=new_desc)
