@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mulls_tpu.backend import coarse_reg as cr
+from mulls_tpu.backend import ncc
+from mulls_tpu.backend.pgo import (PoseGraph, optimize_pose_graph,
+                                   wrong_edge_check)
+from mulls_tpu.core import se3
+from mulls_tpu.core.cloud import VertexDescriptors
+
+
+# --- coarse registration ----------------------------------------------------
+
+
+def _corr_set(rng, n=200, outlier_frac=0.5, noise=0.01):
+    src = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    e = jnp.asarray([0.05, -0.1, 0.4], jnp.float32)
+    t = jnp.asarray([2.0, -1.0, 0.3], jnp.float32)
+    T = se3.make_transform(t, e)
+    tgt = np.array(se3.transform_points(T, jnp.asarray(src)))
+    tgt += noise * rng.normal(size=tgt.shape).astype(np.float32)
+    n_out = int(outlier_frac * n)
+    idx = rng.choice(n, n_out, replace=False)
+    tgt[idx] = rng.uniform(-20, 20, (n_out, 3))
+    return jnp.asarray(src), jnp.asarray(tgt), np.asarray(T), idx
+
+
+def test_ransac_with_outliers(rng):
+    src, tgt, T_gt, _ = _corr_set(rng, outlier_frac=0.6)
+    res = cr.coarse_reg_ransac(src, tgt, jnp.ones(len(src), bool),
+                               jax.random.key(0), inlier_thre=0.1)
+    assert bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.transform), T_gt, atol=0.05)
+
+
+def test_gnc_with_outliers(rng):
+    src, tgt, T_gt, _ = _corr_set(rng, outlier_frac=0.6)
+    res = cr.coarse_reg_gnc(src, tgt, jnp.ones(len(src), bool),
+                            jax.random.key(0), noise_bound=0.05)
+    assert bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.transform), T_gt, atol=0.08)
+
+
+def test_double_check_tran():
+    T1 = np.eye(4, dtype=np.float32)
+    T2 = np.asarray(se3.make_transform(jnp.asarray([1.0, 0, 0]),
+                                       jnp.zeros(3)))
+    assert bool(cr.double_check_tran(jnp.asarray(T2), jnp.asarray(T1),
+                                     2.0, 10.0))
+    assert not bool(cr.double_check_tran(jnp.asarray(T2), jnp.asarray(T1),
+                                         0.5, 10.0))
+
+
+# --- NCC matching -----------------------------------------------------------
+
+
+def _descriptors(rng, n, cap):
+    vec = rng.uniform(0, 100, (n, 11)).astype(np.float32)
+    v = np.zeros((cap, 11), np.float32)
+    v[:n] = vec
+    m = np.zeros(cap, bool)
+    m[:n] = True
+    return VertexDescriptors(vec=jnp.asarray(v), mask=jnp.asarray(m)), vec
+
+
+def test_ncc_match_identical_descriptors(rng):
+    tgt, vec = _descriptors(rng, 50, 64)
+    # source = permuted copy of target
+    perm = rng.permutation(50)
+    src_v = np.zeros((64, 11), np.float32)
+    src_v[:50] = vec[perm]
+    src = VertexDescriptors(vec=jnp.asarray(src_v),
+                            mask=jnp.asarray(np.arange(64) < 50))
+    m = ncc.match_ncc(tgt, src, fixed_num_corr=False, reciprocal=True)
+    valid = np.asarray(m.valid)
+    s_idx = np.asarray(m.s_idx)
+    # each valid target matches its permuted twin
+    hits = 0
+    for t in range(50):
+        if valid[t]:
+            hits += perm[s_idx[t]] == t
+    assert hits >= 45
+
+
+def test_ncc_fixed_num_usage_caps(rng):
+    tgt, _ = _descriptors(rng, 40, 64)
+    src, _ = _descriptors(rng, 40, 64)
+    m = ncc.match_ncc(tgt, src, fixed_num_corr=True, corr_num=200,
+                      max_corr_num=3)
+    valid = np.asarray(m.valid)
+    for arr in (np.asarray(m.t_idx)[valid], np.asarray(m.s_idx)[valid]):
+        _, counts = np.unique(arr, return_counts=True)
+        assert counts.max() <= 4  # max_corr_num + 1 (reference keeps <=)
+
+
+# --- pose graph -------------------------------------------------------------
+
+
+def _chain_graph(rng, m=12, drift=0.15):
+    """Ground-truth loop trajectory; odometry edges with drift + one exact
+    loop edge closing the circle."""
+    angles = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    gt_t = np.stack([10 * np.cos(angles), 10 * np.sin(angles),
+                     np.zeros(m)], -1).astype(np.float32)
+    gt_q = np.tile([1.0, 0, 0, 0], (m, 1)).astype(np.float32)
+
+    edges_i, edges_j, ets, eqs = [], [], [], []
+    for k in range(m - 1):
+        edges_i.append(k)
+        edges_j.append(k + 1)
+        ets.append(gt_t[k + 1] - gt_t[k])  # Ra = I
+        eqs.append([1.0, 0, 0, 0])
+    # loop edge m-1 -> 0
+    edges_i.append(m - 1)
+    edges_j.append(0)
+    ets.append(gt_t[0] - gt_t[m - 1])
+    eqs.append([1.0, 0, 0, 0])
+
+    # initial values: integrate odometry with accumulated drift
+    init_t = gt_t.copy()
+    for k in range(1, m):
+        init_t[k] = init_t[k - 1] + (gt_t[k] - gt_t[k - 1]) \
+            + drift * rng.normal(size=3).astype(np.float32)
+
+    e = len(edges_i)
+    info = np.tile(np.eye(6, dtype=np.float32), (e, 1, 1))
+    return PoseGraph(
+        node_t=jnp.asarray(init_t), node_q=jnp.asarray(gt_q),
+        edge_i=jnp.asarray(edges_i, jnp.int32),
+        edge_j=jnp.asarray(edges_j, jnp.int32),
+        edge_t=jnp.asarray(np.asarray(ets)),
+        edge_q=jnp.asarray(np.asarray(eqs)),
+        edge_info=jnp.asarray(info),
+        edge_mask=jnp.ones(e, bool),
+        fixed=jnp.asarray(np.arange(m) == 0),
+    ), gt_t
+
+
+def test_pgo_closes_loop(rng):
+    graph, gt_t = _chain_graph(rng)
+    t, q, chi2 = optimize_pose_graph(graph, iterations=25)
+    t = np.asarray(t)
+    # first node stays fixed, all nodes pulled to ground truth
+    np.testing.assert_allclose(t[0], gt_t[0], atol=1e-4)
+    np.testing.assert_allclose(t, gt_t, atol=0.05)
+    assert float(chi2) < 1e-4
+
+
+def test_pgo_respects_fixed_nodes(rng):
+    graph, _ = _chain_graph(rng)
+    t0 = np.asarray(graph.node_t)
+    graph = graph._replace(fixed=jnp.ones(graph.num_nodes, bool))
+    t, q, _ = optimize_pose_graph(graph, iterations=10)
+    np.testing.assert_allclose(np.asarray(t), t0, atol=1e-5)
+
+
+def test_pgo_masked_edges_ignored(rng):
+    graph, gt_t = _chain_graph(rng)
+    # add a wildly wrong but masked-out edge
+    bad_t = graph.edge_t.at[-1].set(jnp.asarray([100.0, 0, 0]))
+    mask = graph.edge_mask.at[-1].set(False)
+    g_bad_masked = graph._replace(edge_t=bad_t, edge_mask=mask)
+    t, _, _ = optimize_pose_graph(g_bad_masked, iterations=25)
+    # without the loop edge the drifted odometry is the optimum: node 1..m
+    # just keep (approximately) their initial odometry-consistent values
+    assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_wrong_edge_check(rng):
+    graph, gt_t = _chain_graph(rng, drift=0.0)
+    bad_t = graph.edge_t.at[0].set(jnp.asarray([50.0, 0, 0]))
+    g = graph._replace(edge_t=bad_t)
+    bad = wrong_edge_check(g, g.node_t, g.node_q, 5.0, 25.0)
+    bad = np.asarray(bad)
+    assert bad[0]
+    assert not bad[1:].any()
