@@ -27,6 +27,7 @@ from mulls_tpu.eval import kitti_metrics
 from mulls_tpu.io import kitti as kitti_io
 from mulls_tpu.io.dataset import FolderDataset
 from mulls_tpu.pipeline.odometry import OdometryPipeline
+from mulls_tpu.pipeline.slam import SlamPipeline
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -45,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timing_report_file", default=None)
     p.add_argument("--evaluation_file", default=None)
     p.add_argument("--progress", action="store_true")
+    p.add_argument("--loop_closure_detection_on", type=int, default=None,
+                   help="override the flagfile's loop-closure switch (0|1)")
     return p
 
 
@@ -57,9 +60,27 @@ def main(argv=None) -> int:
                        end=args.frame_num_end, step=args.frame_step)
     print(f"[mulls_tpu] {len(ds)} frames from {args.point_cloud_folder}")
 
-    pipe = OdometryPipeline(cfg)
-    res = pipe.run(ds, progress=args.progress,
-                   profile=args.timing_report_file is not None)
+    import dataclasses
+    if args.loop_closure_detection_on is not None:
+        cfg = dataclasses.replace(cfg, submap=dataclasses.replace(
+            cfg.submap,
+            loop_closure_detection_on=bool(args.loop_closure_detection_on)))
+
+    # with the back-end on, run the full SLAM pipeline (submaps + loop
+    # closure + PGO, `mulls_slam.cpp:451-628`); otherwise the leaner
+    # pure-odometry streaming loop
+    if cfg.submap.loop_closure_detection_on:
+        pipe = SlamPipeline(cfg)
+        res = pipe.run(ds, progress=args.progress)
+        backend = getattr(res, "backend", None)
+        if backend is not None:
+            print(f"[mulls_tpu] back-end: {len(backend.submaps)} submaps, "
+                  f"{len(backend.edges)} edges, "
+                  f"{sum(1 for e in backend.edges if e.kind == 2)} reg edges")
+    else:
+        pipe = OdometryPipeline(cfg)
+        res = pipe.run(ds, progress=args.progress,
+                       profile=args.timing_report_file is not None)
 
     poses_lidar = res.poses
     if args.output_lo_lidar_pose_file_path:

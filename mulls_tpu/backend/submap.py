@@ -1,0 +1,343 @@
+"""Submap management + loop closure + pose-graph back-end orchestration.
+
+Host-side re-design of the reference back-end (SURVEY.md §3.2,
+`test/mulls_slam.cpp:451-628`, `src/build_pose_graph.cpp`):
+
+* submap segmentation on accumulated translation / rotation / frame count
+  (`map_manager.cpp:296-314`) — submaps snapshot the device local map
+  (clouds stay as numpy pytrees on host, shipped back to device only for
+  the rare loop-closure evaluations)
+* adjacent edges from composed odometry, refined by map-to-map MULLS-ICP
+  (`mulls_slam.cpp:477-498`)
+* loop candidates by radius search over submap centers + 2D bbx IoU +
+  id-gap gates (`build_pose_graph.cpp:123-209`)
+* coarse alignment for non-adjacent candidates: NCC keypoint matching +
+  GNC(TEASER-style)/RANSAC + odometry double-check
+  (`mulls_slam.cpp:517-576`)
+* PGO over submap nodes with node freezing, wrong-edge veto and cooling
+  (`graph_optimizer.cpp`, `mulls_slam.cpp:597-623`)
+
+All device work reuses the compiled mm_lls_icp / match_ncc / coarse_reg /
+optimize_pose_graph programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulls_tpu.config import MullsConfig
+from mulls_tpu.backend import coarse_reg as cr
+from mulls_tpu.backend.ncc import match_ncc
+from mulls_tpu.backend.pgo import (PoseGraph, optimize_pose_graph,
+                                   wrong_edge_check)
+from mulls_tpu.core import se3
+from mulls_tpu.frontend.icp import mm_lls_icp
+
+REG_EDGE, ADJACENT_EDGE, HISTORY_EDGE, NONE_EDGE = 2, 1, 0, -1
+
+
+@dataclass
+class Submap:
+    sid: int
+    pose: np.ndarray  # [4,4] world pose of the submap frame (f64)
+    clouds: dict  # host pytree of LocalMap clouds (in submap frame)
+    descriptors: dict  # host pytree of VertexDescriptors
+    frame_begin: int
+    frame_end: int
+    center: np.ndarray = field(default=None)
+    bbx_min: np.ndarray = field(default=None)
+    bbx_max: np.ndarray = field(default=None)
+
+    def compute_bounds(self):
+        pts = []
+        for name in ("ground", "facade", "pillar"):
+            c = self.clouds[name]
+            m = np.asarray(c.mask)
+            if m.any():
+                pts.append(np.asarray(c.xyz)[m])
+        if not pts:
+            self.center = self.pose[:3, 3].copy()
+            self.bbx_min = self.center - 1.0
+            self.bbx_max = self.center + 1.0
+            return
+        p = np.concatenate(pts)
+        pw = p @ self.pose[:3, :3].T + self.pose[:3, 3]
+        self.center = self.pose[:3, 3].copy()
+        self.bbx_min = pw.min(0)
+        self.bbx_max = pw.max(0)
+
+
+@dataclass
+class Edge:
+    i: int  # target submap (block1)
+    j: int  # source submap (block2)
+    T: np.ndarray  # [4,4] T such that T @ p_j ~ p_i
+    info: np.ndarray  # [6,6]
+    kind: int  # REG_EDGE / ADJACENT_EDGE / ...
+    sigma: float = 0.0
+    confidence: float = 1.0
+
+
+def _bbx_iou_2d(a: Submap, b: Submap) -> float:
+    lo = np.maximum(a.bbx_min[:2], b.bbx_min[:2])
+    hi = np.minimum(a.bbx_max[:2], b.bbx_max[:2])
+    inter = np.prod(np.maximum(hi - lo, 0.0))
+    area_a = np.prod(np.maximum(a.bbx_max[:2] - a.bbx_min[:2], 1e-6))
+    area_b = np.prod(np.maximum(b.bbx_max[:2] - b.bbx_min[:2], 1e-6))
+    return float(inter / max(min(area_a, area_b), 1e-6))
+
+
+class SlamBackend:
+    """Owns submaps, the pose graph, and the loop-closure machinery."""
+
+    def __init__(self, cfg: MullsConfig):
+        self.cfg = cfg
+        self.submaps: List[Submap] = []
+        self.edges: List[Edge] = []
+        self.events: List[str] = []  # back-end decision log (glog parity)
+        self.cooling = 0
+        self._accu_tran = 0.0
+        self._accu_rot_deg = 0.0
+        self._accu_frames = 0
+        self._reg = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))
+        # optimized submap poses (None until a successful PGO)
+        self.optimized: Optional[np.ndarray] = None
+
+    # --- segmentation --------------------------------------------------
+
+    def accumulate(self, T_rel: np.ndarray) -> None:
+        self._accu_tran += float(np.linalg.norm(T_rel[:3, 3]))
+        c = np.clip((np.trace(T_rel[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        self._accu_rot_deg += float(np.degrees(np.arccos(c)))
+        self._accu_frames += 1
+
+    def should_segment(self) -> bool:
+        s = self.cfg.submap
+        return (self._accu_tran > s.submap_accu_tran
+                or self._accu_rot_deg > s.submap_accu_rot
+                or self._accu_frames >= s.submap_accu_frame)
+
+    def add_submap(self, local_map, pose: np.ndarray, frame_begin: int,
+                   frame_end: int) -> Submap:
+        sm = Submap(sid=len(self.submaps), pose=pose.copy(),
+                    clouds=jax.device_get(local_map.clouds),
+                    descriptors=jax.device_get(local_map.vertex_desc),
+                    frame_begin=frame_begin, frame_end=frame_end)
+        sm.compute_bounds()
+        self.submaps.append(sm)
+        self._accu_tran = 0.0
+        self._accu_rot_deg = 0.0
+        self._accu_frames = 0
+        return sm
+
+    # --- registration helpers -------------------------------------------
+
+    def map_to_map(self, a: Submap, b: Submap, T_guess: np.ndarray,
+                   max_iter: Optional[int] = None):
+        """Register submap b onto submap a (returns RegResult)."""
+        res = self._reg(jax.device_put(b.clouds), jax.device_put(a.clouds),
+                        self.cfg.reg, jnp.asarray(T_guess, jnp.float32),
+                        max_iter=max_iter or self.cfg.reg.reg_max_iter_num_m2m)
+        return res
+
+    def coarse_align(self, a: Submap, b: Submap, key) -> Tuple[np.ndarray, bool]:
+        """NCC keypoint matching + robust coarse registration
+        (`mulls_slam.cpp:529-556`)."""
+        s = self.cfg.submap
+        m = match_ncc(jax.device_put(a.descriptors),
+                      jax.device_put(b.descriptors),
+                      fixed_num_corr=s.best_n_feature_match_on,
+                      corr_num=s.feature_corr_num,
+                      reciprocal=s.reciprocal_feature_match_on)
+        va = jax.device_put(a.clouds["vertex"])
+        vb = jax.device_put(b.clouds["vertex"])
+        src = vb.xyz[m.s_idx]
+        tgt = va.xyz[m.t_idx]
+        mask = m.valid & vb.mask[m.s_idx] & va.mask[m.t_idx]
+        nb = self.cfg.feature.cloud_pca_neigh_r
+        if s.teaser_based_global_registration_on:
+            res = cr.coarse_reg_gnc(src, tgt, mask, key, noise_bound=nb,
+                                    min_inlier_count=s.teaser_min_inlier_count)
+        else:
+            res = cr.coarse_reg_ransac(src, tgt, mask, key,
+                                       inlier_thre=2.0 * nb,
+                                       min_inlier_count=s.teaser_min_inlier_count)
+        return np.asarray(res.transform, np.float64), bool(res.valid)
+
+    # --- back-end step at a new submap boundary --------------------------
+
+    def on_new_submap(self, key) -> Optional[np.ndarray]:
+        """Runs the reference's per-submap back-end (SURVEY.md §3.2).
+        Returns updated submap poses [S, 4, 4] if a PGO ran and was
+        accepted, else None."""
+        s_cfg = self.cfg.submap
+        if len(self.submaps) < 2:
+            return None
+        a = self.submaps[-2]
+        b = self.submaps[-1]
+
+        # demote weak registration edges (`build_pose_graph.cpp:100-121`)
+        for e in self.edges:
+            if e.kind == REG_EDGE and (e.confidence < 0.2 or e.sigma > 0.3):
+                e.kind = HISTORY_EDGE
+
+        # adjacent edge + map-to-map refinement
+        T_adj = np.linalg.inv(a.pose) @ b.pose
+        res = self.map_to_map(a, b, T_adj)
+        code = int(res.process_code)
+        sigma = float(res.sigma)
+        if code == 1 and sigma <= s_cfg.map2map_reliable_sigma_thre:
+            T_adj_ref = np.asarray(res.transform, np.float64)
+            info = np.asarray(res.information, np.float64)
+            # overwrite odometry with the refined estimate
+            b.pose = a.pose @ T_adj_ref
+            T_adj = T_adj_ref
+        else:
+            info = np.eye(6) * (1.0 / max(sigma, 0.05) ** 2
+                                if code == 1 else 100.0)
+        self.edges.append(Edge(i=a.sid, j=b.sid, T=T_adj, info=info,
+                               kind=ADJACENT_EDGE, sigma=sigma,
+                               confidence=float(res.confidence)))
+
+        if not s_cfg.loop_closure_detection_on:
+            return None
+        if self.cooling > 0:
+            self.cooling -= 1
+            return None
+
+        # loop candidates (`build_pose_graph.cpp:123-209`)
+        cands = []
+        for old in self.submaps[:-1]:
+            if b.sid - old.sid < s_cfg.min_submap_id_diff:
+                continue
+            d = np.linalg.norm(old.center[:2] - b.center[:2])
+            if d > s_cfg.neighbor_search_dist + 0.02 * self._dist_since(old):
+                continue
+            iou = _bbx_iou_2d(old, b)
+            if iou < s_cfg.min_iou_thre:
+                self.events.append(f"cand {old.sid}->{b.sid} rejected: "
+                                   f"iou {iou:.2f}")
+                continue
+            cands.append((iou, old))
+        cands.sort(key=lambda x: -x[0])
+        self.events.append(f"submap {b.sid}: {len(cands)} loop candidates")
+
+        new_reg_edges = 0
+        transfer_T: Optional[np.ndarray] = None
+        for rank, (iou, old) in enumerate(
+                cands[:s_cfg.max_used_reg_edge_per_optimization]):
+            T_guess = np.linalg.inv(old.pose) @ b.pose
+            T_init = T_guess
+            if transfer_T is None and iou > s_cfg.min_iou_thre_global_reg:
+                # global registration attempt for high-overlap candidates
+                # without a reliable transform yet (`mulls_slam.cpp:529-556`);
+                # on failure fall back to the odometry prediction and let the
+                # fine registration's own gates decide
+                T_coarse, ok = self.coarse_align(old, b, key)
+                if ok and bool(cr.double_check_tran(
+                        jnp.asarray(T_coarse, jnp.float32),
+                        jnp.asarray(T_guess, jnp.float32),
+                        s_cfg.wrong_edge_tran_thre * 3,
+                        s_cfg.wrong_edge_rot_thre_deg * 3)):
+                    T_init = T_coarse
+                    self.events.append(f"loop {old.sid}->{b.sid}: using "
+                                       "coarse alignment")
+                else:
+                    self.events.append(f"loop {old.sid}->{b.sid}: coarse "
+                                       "failed, using odometry prediction")
+            res = self.map_to_map(old, b, T_init)
+            if int(res.process_code) != 1:
+                self.events.append(f"loop {old.sid}->{b.sid}: fine reg code "
+                                   f"{int(res.process_code)}")
+                continue
+            self.events.append(f"loop {old.sid}->{b.sid}: accepted, sigma "
+                               f"{float(res.sigma):.4f}")
+            self.edges.append(Edge(
+                i=old.sid, j=b.sid, T=np.asarray(res.transform, np.float64),
+                info=np.asarray(res.information, np.float64), kind=REG_EDGE,
+                sigma=float(res.sigma), confidence=float(res.confidence)))
+            new_reg_edges += 1
+            if s_cfg.transfer_correct_reg_tran_on:
+                transfer_T = np.asarray(res.transform, np.float64)
+                b.pose = old.pose @ transfer_T
+
+        if new_reg_edges == 0:
+            return None
+        poses = self.optimize()
+        if poses is not None:
+            self.cooling = s_cfg.cooling_submap_num
+        return poses
+
+    def _dist_since(self, old: Submap) -> float:
+        return float(sum(np.linalg.norm(
+            self.submaps[k + 1].pose[:3, 3] - self.submaps[k].pose[:3, 3])
+            for k in range(old.sid, len(self.submaps) - 1)))
+
+    # --- PGO --------------------------------------------------------------
+
+    def build_graph(self) -> PoseGraph:
+        m = len(self.submaps)
+        active = [e for e in self.edges if e.kind in (REG_EDGE, ADJACENT_EDGE)]
+        e = len(active)
+        node_t = np.stack([s.pose[:3, 3] for s in self.submaps]).astype(np.float32)
+        Rs = np.stack([s.pose[:3, :3] for s in self.submaps]).astype(np.float32)
+        node_q = np.asarray(se3.quat_from_rotation(jnp.asarray(Rs)))
+        edge_t = np.stack([ed.T[:3, 3] for ed in active]).astype(np.float32)
+        Rq = np.stack([ed.T[:3, :3] for ed in active]).astype(np.float32)
+        edge_q = np.asarray(se3.quat_from_rotation(jnp.asarray(Rq)))
+        w_adj = self.cfg.submap.adjacent_edge_weight_ratio
+        info = np.stack([
+            ed.info * (w_adj if ed.kind == ADJACENT_EDGE else 1.0)
+            for ed in active]).astype(np.float32)
+        fixed = np.zeros(m, bool)
+        fixed[0] = True
+        # pre-loop nodes frozen like the reference's ceres bounds trick:
+        # nodes older than the earliest reg-edge target stay fixed
+        reg_targets = [ed.i for ed in active if ed.kind == REG_EDGE]
+        if reg_targets:
+            fixed[:min(reg_targets)] = True
+        return PoseGraph(
+            node_t=jnp.asarray(node_t), node_q=jnp.asarray(node_q),
+            edge_i=jnp.asarray([ed.i for ed in active], jnp.int32),
+            edge_j=jnp.asarray([ed.j for ed in active], jnp.int32),
+            edge_t=jnp.asarray(edge_t), edge_q=jnp.asarray(edge_q),
+            edge_info=jnp.asarray(info),
+            edge_mask=jnp.ones(e, bool),
+            fixed=jnp.asarray(fixed)), active
+
+    def optimize(self) -> Optional[np.ndarray]:
+        """PGO + wrong-edge veto (`graph_optimizer.cpp:713-754`).
+        On success updates submap poses and returns them [S, 4, 4]."""
+        s_cfg = self.cfg.submap
+        graph, active = self.build_graph()
+        t, q, chi2 = optimize_pose_graph(
+            graph, iterations=s_cfg.pgo_max_iter,
+            equal_weight=s_cfg.equal_weight_on,
+            diagonal_information=s_cfg.diagonal_information_matrix_on,
+            robust_kernel=s_cfg.robust_kernel_on)
+        bad = np.asarray(wrong_edge_check(graph, t, q,
+                                          s_cfg.wrong_edge_tran_thre,
+                                          s_cfg.wrong_edge_rot_thre_deg))
+        reg_idx = [k for k, ed in enumerate(active) if ed.kind == REG_EDGE]
+        n_bad_reg = int(bad[reg_idx].sum()) if reg_idx else 0
+        n_reg = len(reg_idx)
+        for k, ed in enumerate(active):
+            if bad[k] and ed.kind == REG_EDGE:
+                ed.kind = NONE_EDGE
+        if n_reg == 0 or n_bad_reg == n_reg or \
+                (n_bad_reg / max(n_reg, 1)) > s_cfg.wrong_edge_ratio_thre:
+            return None  # optimization rejected
+        t = np.asarray(t, np.float64)
+        R = np.asarray(se3.rotation_from_quat(jnp.asarray(q)), np.float64)
+        poses = np.tile(np.eye(4), (len(self.submaps), 1, 1))
+        poses[:, :3, :3] = R
+        poses[:, :3, 3] = t
+        for s, p in zip(self.submaps, poses):
+            s.pose = p.copy()
+        self.optimized = poses
+        return poses

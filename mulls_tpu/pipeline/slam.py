@@ -1,0 +1,126 @@
+"""Full SLAM pipeline: front-end odometry + submap back-end (loop closure,
+PGO) — the complete `mulls_slam` driver (SURVEY.md §3.1-3.2).
+
+Structure: the front-end is the fused device `slam_step` (see
+`pipeline/odometry.py`); the host orchestrates in *segments* of a few
+frames — it enqueues a segment asynchronously, then syncs once to read the
+segment's relative transforms and run back-end bookkeeping (submap
+segmentation, loop closure, PGO).  Segment-sized sync keeps the device
+pipeline busy while bounding the staleness of back-end decisions to the
+segment length (deviation from the reference, which triggers submaps at
+exact frame boundaries).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulls_tpu.config import MullsConfig
+from mulls_tpu.backend.submap import SlamBackend
+from mulls_tpu.pipeline.odometry import (OdometryResult, RawCloud, SlamState,
+                                         init_state, slam_step)
+
+
+class SlamPipeline:
+    def __init__(self, cfg: MullsConfig, segment: int = 8):
+        self.cfg = cfg
+        self.segment = segment
+        self._key = jax.random.key(cfg.seed + 1)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _to_raw(self, frame: dict) -> RawCloud:
+        return RawCloud(xyz=jnp.asarray(frame["xyz"]),
+                        intensity=jnp.asarray(frame["intensity"]),
+                        ts_ratio=jnp.asarray(frame["ts_ratio"]),
+                        mask=jnp.asarray(frame["mask"]))
+
+    def run(self, dataset, progress: bool = False) -> OdometryResult:
+        cfg = self.cfg
+        n = len(dataset)
+        state = init_state(cfg)
+        backend = SlamBackend(cfg)
+
+        poses = np.tile(np.eye(4), (n, 1, 1))
+        codes: List[int] = []
+        sigmas: List[float] = []
+        frame_submap = np.full(n, -1, np.int32)  # submap id per frame
+        submap_open_begin = 0
+        cur_pose = np.eye(4)
+        timings = np.zeros((n, 4), np.float64)
+
+        i = 0
+        while i < n:
+            seg_end = min(i + self.segment, n)
+            outs = []
+            t0 = time.perf_counter()
+            for k in range(i, seg_end):
+                raw = self._to_raw(dataset[k])
+                state, out = slam_step(state, raw, cfg)
+                outs.append(out)
+            T_rels = np.asarray(jnp.stack([o.T_rel for o in outs]), np.float64)
+            seg_codes = np.asarray(jnp.stack([o.code for o in outs]))
+            seg_sigma = np.asarray(jnp.stack([o.sigma for o in outs]))
+            t1 = time.perf_counter()
+            timings[i:seg_end, 2] = (t1 - t0) * 1e3 / (seg_end - i)
+
+            for k in range(i, seg_end):
+                T = T_rels[k - i]
+                u, _, vt = np.linalg.svd(T[:3, :3])
+                T[:3, :3] = u @ vt
+                if k > 0:
+                    cur_pose = cur_pose @ T
+                poses[k] = cur_pose
+                codes.append(int(seg_codes[k - i]))
+                sigmas.append(float(seg_sigma[k - i]))
+                if k > 0:
+                    backend.accumulate(T)
+
+            # back-end at segment boundary (`mulls_slam.cpp:451-628`)
+            tb0 = time.perf_counter()
+            if backend.should_segment():
+                last = seg_end - 1
+                sm = backend.add_submap(state.local_map, poses[last],
+                                        submap_open_begin, last)
+                frame_submap[submap_open_begin:seg_end] = sm.sid
+                submap_open_begin = seg_end
+                old_poses = np.stack([s.pose for s in backend.submaps])
+                new_poses = backend.on_new_submap(self._next_key())
+                # the adjacent-edge map2map refinement may have nudged the
+                # newest submap pose even without a PGO
+                ref_pose = backend.submaps[-1].pose
+                if not np.allclose(ref_pose, poses[last]):
+                    # adopt the refined pose for the trigger frame and
+                    # continue odometry from it (`mulls_slam.cpp:489-498`)
+                    cur_pose = ref_pose
+                    poses[last] = ref_pose
+                if new_poses is not None:
+                    # rigidly move each submap's frames to its new pose
+                    for s, newp in zip(backend.submaps, new_poses):
+                        mask = frame_submap[:seg_end] == s.sid
+                        if not mask.any():
+                            continue
+                        corr = newp @ np.linalg.inv(old_poses[s.sid])
+                        poses[:seg_end][mask] = np.einsum(
+                            "ij,njk->nik", corr, poses[:seg_end][mask])
+                    cur_pose = poses[seg_end - 1]
+            timings[i:seg_end, 3] = (time.perf_counter() - tb0) * 1e3 \
+                / (seg_end - i)
+
+            if progress:
+                print(f"[{seg_end}/{n}] submaps={len(backend.submaps)} "
+                      f"edges={len(backend.edges)} "
+                      f"sigma={sigmas[-1]:.4f}", flush=True)
+            i = seg_end
+
+        res = OdometryResult(poses=poses, codes=codes, sigmas=sigmas,
+                             timings=timings)
+        res.backend = backend
+        return res

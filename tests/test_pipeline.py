@@ -1,0 +1,135 @@
+"""End-to-end pipeline tests: demo-data odometry golden envelope + a
+synthetic loop-closure run exercising the submap back-end."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from mulls_tpu.config import load_flagfile
+from mulls_tpu.core import se3
+from mulls_tpu.io.dataset import FolderDataset
+from mulls_tpu.pipeline.odometry import OdometryPipeline
+from mulls_tpu.pipeline.slam import SlamPipeline
+
+DEMO = "/root/reference/demo_data/pcd"
+KITTI_CFG = "/root/reference/script/config/lo_gflag_list_kitti_urban.txt"
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO), reason="demo data not mounted")
+def test_demo_odometry_golden_envelope():
+    """The CI-equivalent smoke test (SURVEY.md §4): 6 demo scans, forward
+    motion at the known KITTI-seq00 profile, healthy registrations."""
+    cfg = load_flagfile(KITTI_CFG)
+    ds = FolderDataset(DEMO, cfg.shapes.n_raw, end=6)
+    res = OdometryPipeline(cfg).run(ds)
+    assert all(c == 1 for c in res.codes)
+    assert all(s < 0.1 for s in res.sigmas[1:])
+    steps = np.diff(res.poses[:, :3, 3], axis=0)
+    # forward ~0.7 m/frame, minimal lateral/vertical drift
+    assert np.all(steps[:, 0] > 0.5) and np.all(steps[:, 0] < 1.0)
+    assert np.all(np.abs(steps[:, 1]) < 0.1)
+    assert np.all(np.abs(steps[:, 2]) < 0.1)
+
+
+def _simulate_scan(world, pose, n_raw, sensor_range, rng):
+    """World points within range of the pose, in the sensor frame."""
+    inv = np.linalg.inv(pose)
+    local = world @ inv[:3, :3].T + inv[:3, 3]
+    r = np.linalg.norm(local[:, :2], axis=1)
+    sel = np.where((r < sensor_range) & (r > 1.5))[0]
+    if len(sel) > n_raw:
+        sel = rng.choice(sel, n_raw, replace=False)
+    pts = local[sel] + 0.008 * rng.normal(size=(len(sel), 3))
+    out_xyz = np.zeros((n_raw, 3), np.float32)
+    out_xyz[:len(sel)] = pts
+    mask = np.zeros(n_raw, bool)
+    mask[:len(sel)] = True
+    # world-stable pseudo-intensity so NCC descriptors are informative
+    inten = np.zeros(n_raw, np.float32)
+    wsel = world[sel]
+    inten[:len(sel)] = (np.abs(np.sin(0.7 * wsel[:, 0])
+                               + np.cos(1.3 * wsel[:, 1])) * 120.0)
+    return {"xyz": out_xyz,
+            "intensity": inten,
+            "ts_ratio": np.linspace(0, 1, n_raw, dtype=np.float32),
+            "mask": mask}
+
+
+def _loop_world(rng, n=120000, extent=45.0):
+    """Dense structured world: ground + walls + posts over a square."""
+    n_g = n // 2
+    g = np.stack([rng.uniform(-extent, extent, n_g),
+                  rng.uniform(-extent, extent, n_g),
+                  0.03 * rng.normal(size=n_g) - 1.7], -1)
+    n_w = n // 4
+    # walls along a square corridor
+    side = rng.integers(0, 4, n_w)
+    u = rng.uniform(-extent, extent, n_w)
+    d = np.full(n_w, extent * 0.7) + 0.05 * rng.normal(size=n_w)
+    wx = np.where(side == 0, d, np.where(side == 1, -d, u))
+    wy = np.where(side < 2, u, np.where(side == 2, d, -d))
+    w = np.stack([wx, wy, rng.uniform(-1.5, 3.0, n_w)], -1)
+    n_p = n - n_g - n_w
+    per = 60
+    cx = rng.uniform(-extent, extent, n_p // per + 1)
+    cy = rng.uniform(-extent, extent, n_p // per + 1)
+    reps = np.repeat(np.arange(len(cx)), per)[:n_p]
+    p = np.stack([cx[reps] + 0.02 * rng.normal(size=n_p),
+                  cy[reps] + 0.02 * rng.normal(size=n_p),
+                  rng.uniform(-1.5, 2.0, n_p)], -1)
+    return np.concatenate([g, w, p]).astype(np.float32)
+
+
+class _ListDataset(list):
+    pass
+
+
+def test_slam_loop_closure_synthetic(rng):
+    """Drive a circular trajectory through a synthetic world: the back-end
+    must segment submaps, add adjacent edges, find a loop edge when the
+    trajectory returns, and keep the trajectory consistent."""
+    cfg = ge._small_cfg()
+    cfg = cfg.replace(
+        submap=cfg.submap.__class__(
+            loop_closure_detection_on=True,
+            submap_accu_tran=8.0, submap_accu_rot=1e9, submap_accu_frame=4,
+            min_submap_id_diff=3, neighbor_search_dist=30.0,
+            min_iou_thre=0.2, teaser_min_inlier_count=6,
+            map2map_reliable_sigma_thre=0.04,
+            max_used_reg_edge_per_optimization=2),
+        reg=cfg.reg.__class__(corr_dis_thre_init=3.5, corr_dis_thre_min=0.6))
+
+    world = _loop_world(rng)
+    # circular loop with a speed ramp: the first steps are small (cold-start
+    # ICP has no motion model yet), later steps are large but predictable
+    n_frames = 26
+    radius = 8.0
+    gt = []
+    for k in range(n_frames):
+        ang = 2 * np.pi * (k / (n_frames - 1)) ** 1.5
+        t = jnp.asarray([radius * np.cos(ang) - radius,
+                         radius * np.sin(ang), 0.0], jnp.float32)
+        e = jnp.asarray([0.0, 0.0, ang + np.pi / 2], jnp.float32)
+        gt.append(np.asarray(se3.make_transform(t, e), np.float64))
+    frames = _ListDataset(
+        _simulate_scan(world, g, cfg.shapes.n_raw, 35.0, rng) for g in gt)
+
+    pipe = SlamPipeline(cfg, segment=2)
+    res = pipe.run(frames)
+    # our trajectory is expressed in frame-0 coordinates: align gt
+    gt = np.stack(gt)
+    gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+
+    assert all(c == 1 for c in res.codes), res.codes
+    backend = res.backend
+    assert len(backend.submaps) >= 3
+    kinds = [e.kind for e in backend.edges]
+    assert kinds.count(1) >= len(backend.submaps) - 1  # adjacent edges
+    assert kinds.count(2) >= 1, backend.events  # at least one loop edge
+    # trajectory stays near ground truth (clean synthetic world)
+    err = np.linalg.norm(res.poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert err.max() < 1.0, err
