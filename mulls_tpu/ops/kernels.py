@@ -1,0 +1,216 @@
+"""Pallas TPU kernels for the two hot neighborhood ops.
+
+Both ops are tiled brute-force distance computations (the kd-tree
+replacement, SURVEY.md §7.1).  The plain-XLA fallbacks in
+:mod:`mulls_tpu.ops.neighbors` materialize a ``[Q, P]`` distance block per
+chunk in HBM (~160 MB per ICP iteration at KITTI sizes, ~1.6 GB per frame
+for the PCA neighborhoods).  These kernels keep each ``[TQ, TP]`` distance
+tile in VMEM and fuse the consumer (argmin merge / moment matmul) into the
+same tile pass, so the distance matrix never touches HBM:
+
+* :func:`nn_pallas` — 1-NN with a running (dist, idx) argmin across
+  support tiles (replaces the per-class correspondence search of
+  `cregistration.hpp:1701-1835` and the map-side 1-NN of
+  `map_manager.cpp:145-256`).
+* :func:`moments_pallas` — masked neighborhood sums ``adj @ feats`` where
+  ``adj = [d2 <= r2]`` (replaces the kd-tree radius search feeding
+  neighborhood PCA `pca.hpp:294-354` and the NCC descriptor counts
+  `cfilter.hpp:1071-1181`).
+
+Tile sizes: TQ=256 sublanes x TP=2048 lanes (f32 min tile 8x128); the
+distance tile is 2 MB of VMEM.  The cross term is an MXU matmul
+``[TQ,3] @ [3,TP]`` and the moment reduction is ``[TQ,TP] @ [TP,C]``.
+Coordinates stay f32 (bf16's 8-bit mantissa cannot represent metre-scale
+coordinates to the mm accuracy the registration needs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+
+TQ = 256
+TP = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_to(x: jnp.ndarray, n: int, axis: int = 0, value=0):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# --------------------------------------------------------------------------
+# 1-NN
+# --------------------------------------------------------------------------
+
+def _nn_kernel(q_ref, pt_ref, p2_ref, d_ref, i_ref):
+    # d_ref/i_ref hold the FULL [nQ, TQ] result in VMEM (tiny: 4 B/query);
+    # row `i` is this q-tile's running argmin state across support tiles.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    q = q_ref[:]                       # [TQ, 3]
+    q2 = jnp.sum(q * q, axis=1)        # [TQ]
+    cross = jnp.dot(q, pt_ref[:], preferred_element_type=jnp.float32)
+    d2 = q2[:, None] + p2_ref[:] - 2.0 * cross     # [TQ, TP]
+
+    loc_min = jnp.min(d2, axis=1)                  # [TQ]
+    loc_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * TP
+
+    prev_d = jnp.where(j == 0, _BIG, d_ref[i, :])
+    prev_i = jnp.where(j == 0, 0, i_ref[i, :])
+    better = loc_min < prev_d
+    d_ref[i, :] = jnp.where(better, loc_min, prev_d)
+    i_ref[i, :] = jnp.where(better, loc_arg, prev_i)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_pallas(q_xyz: jnp.ndarray, q_mask: jnp.ndarray, p_xyz: jnp.ndarray,
+              p_mask: jnp.ndarray, interpret: bool = False):
+    """Fused 1-NN: (idx [Q] i32, sqdist [Q] f32); invalid support excluded,
+    invalid queries get the +inf sentinel (API parity with
+    ``neighbors.nearest_neighbor``)."""
+    qn, pn = q_xyz.shape[0], p_xyz.shape[0]
+    qp, pp = _round_up(qn, TQ), _round_up(pn, TP)
+    q = _pad_to(q_xyz.astype(jnp.float32), qp)
+    p = _pad_to(p_xyz.astype(jnp.float32), pp)
+    # invalid support columns get +BIG so they never win the argmin
+    p2 = jnp.sum(p * p, axis=1) + jnp.where(
+        _pad_to(p_mask, pp, value=False), 0.0, _BIG)
+
+    grid = (qp // TQ, pp // TP)
+    best_d, best_i = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TP), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp // TQ, TQ), jnp.float32),
+            jax.ShapeDtypeStruct((qp // TQ, TQ), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, p.T, p2[None, :])
+
+    idx = best_i.reshape(-1)[:qn]
+    d2 = best_d.reshape(-1)[:qn]
+    d2 = jnp.where(q_mask, d2, _BIG)
+    return jnp.minimum(idx, pn - 1), d2
+
+
+# --------------------------------------------------------------------------
+# Radius moments (adjacency @ features), with optional close-neighborhood
+# --------------------------------------------------------------------------
+
+def _moments_kernel(close_frac_ref, q_ref, pt_ref, p2_ref, r2_ref, f_ref,
+                    s_ref, c_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
+        c_ref[:] = jnp.zeros(c_ref.shape, jnp.float32)
+
+    q = q_ref[:]
+    q2 = jnp.sum(q * q, axis=1)
+    cross = jnp.dot(q, pt_ref[:], preferred_element_type=jnp.float32)
+    d2 = q2[:, None] + p2_ref[:] - 2.0 * cross        # [TQ, TP]
+
+    r2 = r2_ref[i, :][:, None]                        # [TQ, 1]
+    adj = (d2 <= r2).astype(jnp.float32)
+    s_ref[:] += jnp.dot(adj, f_ref[:], preferred_element_type=jnp.float32)
+
+    cf = close_frac_ref[0]
+    cadj = adj * (d2 <= cf * r2).astype(jnp.float32)
+    c_ref[:] += jnp.dot(cadj, f_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
+                   p_mask: jnp.ndarray, r2: jnp.ndarray,
+                   feat_stack: jnp.ndarray, close_fraction_sq: jnp.ndarray,
+                   interpret: bool = False):
+    """Fused ``adj @ feat_stack`` neighborhood sums.
+
+    Args:
+      q_xyz: [Q,3] queries; r2: [Q] per-query squared radius.
+      p_xyz/p_mask: [P,3]/[P] support; invalid rows contribute nothing
+        (their feature rows are zeroed here, including the count column).
+      feat_stack: [P,C] per-support features (col 0 is conventionally 1s).
+      close_fraction_sq: scalar; second output sums over d2 <= frac * r2.
+
+    Returns (sums [Q,C], close_sums [Q,C]).
+    """
+    qn, pn = q_xyz.shape[0], p_xyz.shape[0]
+    cn = feat_stack.shape[1]
+    qp, pp = _round_up(qn, TQ), _round_up(pn, TP)
+    cp = _round_up(cn, 128)
+    q = _pad_to(q_xyz.astype(jnp.float32), qp)
+    p = _pad_to(p_xyz.astype(jnp.float32), pp)
+    f = _pad_to(_pad_to(
+        feat_stack.astype(jnp.float32)
+        * p_mask[:, None].astype(jnp.float32), pp), cp, axis=1)
+    # push padded/invalid support out of every radius
+    p2 = jnp.sum(p * p, axis=1) + jnp.where(
+        _pad_to(p_mask, pp, value=False), 0.0, _BIG)
+    r2p = _pad_to(r2.astype(jnp.float32), qp)
+
+    grid = (qp // TQ, pp // TP)
+    sums, csums = pl.pallas_call(
+        _moments_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TQ, 3), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, TP), lambda i, j, *_: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TP), lambda i, j, *_: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((qp // TQ, TQ), lambda i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TP, cp), lambda i, j, *_: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TQ, cp), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TQ, cp), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, cp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([close_fraction_sq], jnp.float32),
+      q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ), f)
+
+    return sums[:qn, :cn], csums[:qn, :cn]

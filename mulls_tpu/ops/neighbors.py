@@ -22,6 +22,7 @@ between the compare and the moment matmul after XLA fusion.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -29,6 +30,16 @@ import jax
 import jax.numpy as jnp
 
 _BIG = 3.0e38
+
+
+def use_pallas() -> bool:
+    """Pallas kernels on real TPU; plain-XLA path elsewhere (the kernels
+    also run under ``interpret=True`` for CPU parity tests).  Override with
+    MULLS_TPU_PALLAS=0|1."""
+    env = os.environ.get("MULLS_TPU_PALLAS", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _pad_rows(x: jnp.ndarray, n: int):
@@ -87,6 +98,28 @@ def radius_moments(
         [c[:, None] if c.ndim == 1 else c for c in cols], axis=1)  # [P, 10+F]
     pmask_f = p_mask.astype(jnp.float32)
 
+    if use_pallas():
+        from mulls_tpu.ops.kernels import moments_pallas
+        sums, csums = moments_pallas(
+            q_xyz, p_xyz, p_mask, r2, feat_stack,
+            jnp.float32(close_fraction_sq
+                        if close_fraction_sq is not None else 0.0))
+        qmask_f = q_mask.astype(jnp.float32)[:, None]
+        sums = sums * qmask_f
+        out = {
+            "count": sums[:, 0],
+            "sum_xyz": sums[:, 1:4],
+            "sum_outer": sums[:, 4:10],
+        }
+        if p_feats is not None:
+            out["feat_sum"] = sums[:, n_base:]
+        if close_fraction_sq is not None:
+            csums = csums * qmask_f
+            out["close_count"] = csums[:, 0]
+            if p_feats is not None:
+                out["close_feat_sum"] = csums[:, n_base:]
+        return out
+
     qpad = -qn % chunk
     q_xyz_p = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
     q_mask_p = _pad_rows(q_mask, qn + qpad).reshape(-1, chunk)
@@ -144,6 +177,9 @@ def nearest_neighbor(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
                      chunk: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tiled brute-force 1-NN: returns (idx [Q] int32, sqdist [Q] f32).
     Invalid queries / empty support get sqdist = +inf-like sentinel."""
+    if use_pallas():
+        from mulls_tpu.ops.kernels import nn_pallas
+        return nn_pallas(q_xyz, q_mask, p_xyz, p_mask)
     qn = q_xyz.shape[0]
     qpad = -qn % chunk
     q_xyz_p = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
