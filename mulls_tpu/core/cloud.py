@@ -46,6 +46,55 @@ class RawCloud:
         )
 
 
+# Host->device wire format: on a streaming odometry run the PCIe / tunnel
+# link, not device compute, bounds throughput, so scans travel quantized
+# (9 B/point instead of 21): xyz as int16 fixed-point, intensity as uint8,
+# timestamp ratio as uint16, and the validity mask as a single prefix
+# count.  4 mm quantization is far below LiDAR range noise (~2 cm) and
+# covers +/-131 m.
+XYZ_SCALE = 250.0  # ticks per metre -> 4 mm resolution
+
+
+@struct.dataclass
+class PackedRawCloud:
+    """Quantized scan for cheap host->device transfer; decode on device."""
+
+    xyz_q: jnp.ndarray  # [N, 3] int16, metres * XYZ_SCALE
+    intensity_q: jnp.ndarray  # [N] uint8
+    ts_q: jnp.ndarray  # [N] uint16, ratio * 65535
+    n: jnp.ndarray  # [] int32 valid-point count (prefix is valid)
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz_q.shape[-2]
+
+
+def pack_raw_host(data: dict) -> "PackedRawCloud":
+    """Pack a padded host frame dict (numpy arrays) into the wire format."""
+    import numpy as np
+    xyz = np.clip(np.rint(data["xyz"] * XYZ_SCALE), -32767, 32767)
+    return PackedRawCloud(
+        xyz_q=xyz.astype(np.int16),
+        intensity_q=np.clip(np.rint(data["intensity"] * 255.0), 0, 255)
+        .astype(np.uint8),
+        ts_q=np.clip(np.rint(data["ts_ratio"] * 65535.0), 0, 65535)
+        .astype(np.uint16),
+        n=np.int32(data["mask"].sum()),
+    )
+
+
+def unpack_raw(p: "PackedRawCloud") -> RawCloud:
+    """Device-side decode (runs inside the fused per-frame step)."""
+    n = p.capacity
+    mask = jnp.arange(n, dtype=jnp.int32) < p.n
+    return RawCloud(
+        xyz=p.xyz_q.astype(jnp.float32) * (1.0 / XYZ_SCALE),
+        intensity=p.intensity_q.astype(jnp.float32) * (1.0 / 255.0),
+        ts_ratio=p.ts_q.astype(jnp.float32) * (1.0 / 65535.0),
+        mask=mask,
+    )
+
+
 @struct.dataclass
 class FeatureCloud:
     """One feature class: points + direction vector + saliency.

@@ -104,23 +104,47 @@ def pad_cloud(data: dict, n_raw: int, rng: Optional[np.random.Generator] = None
 class FolderDataset:
     """Iterates a folder of point-cloud files in sorted order, padded to the
     shape contract.  Mirrors `batch_read_filenames_in_folder` +
-    `read_pc_cloud_block` (`dataio.hpp:875-1086`)."""
+    `read_pc_cloud_block` (`dataio.hpp:875-1086`).
+
+    Decoding uses the native C++ runtime (``mulls_tpu/native``) when its
+    library is available — including a worker-pool prefetch ring when
+    iterating — and falls back to the Python readers otherwise.  Set
+    ``native=False`` to force the Python path.
+    """
 
     def __init__(self, root: str, n_raw: int, ext: Optional[str] = None,
-                 begin: int = 0, end: Optional[int] = None, step: int = 1):
+                 begin: int = 0, end: Optional[int] = None, step: int = 1,
+                 native: bool = True):
         names = sorted(os.listdir(root))
         files = [os.path.join(root, f) for f in names
                  if f.lower().endswith(ext or _EXTS)]
         self.files = files[begin:end:step]
         self.n_raw = n_raw
+        self._native = False
+        if native:
+            from mulls_tpu.io import native as nio
+            self._native = nio.native_available()
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, i: int) -> dict:
+        if self._native:
+            from mulls_tpu.io import native as nio
+            out = nio.read_cloud_native(self.files[i], self.n_raw)
+            if out is not None:
+                return out
         return pad_cloud(read_point_cloud(self.files[i]), self.n_raw)
 
     def __iter__(self) -> Iterator[dict]:
+        if self._native:
+            from mulls_tpu.io import native as nio
+            try:
+                with nio.NativePrefetcher(self.files, self.n_raw) as pf:
+                    yield from pf
+                return
+            except (RuntimeError, IOError):
+                pass
         for i in range(len(self)):
             yield self[i]
 

@@ -33,7 +33,8 @@ from flax import struct
 
 from mulls_tpu.config import MullsConfig
 from mulls_tpu.core import se3
-from mulls_tpu.core.cloud import RawCloud
+from mulls_tpu.core.cloud import (PackedRawCloud, RawCloud, pack_raw_host,
+                                  unpack_raw)
 from mulls_tpu.frontend.features import extract_features
 from mulls_tpu.frontend.icp import mm_lls_icp
 from mulls_tpu.mapping.local_map import (LocalMap, init_local_map,
@@ -57,6 +58,28 @@ class StepOut:
     code: jnp.ndarray
     confidence: jnp.ndarray
     iterations: jnp.ndarray
+    # everything above packed as one [21] f32 vector so a whole run's
+    # results come back in a single device->host transfer (each D2H pays a
+    # full link round trip; per-field fetches dominated wall-clock)
+    vec: jnp.ndarray
+
+    @staticmethod
+    def pack_vec(T_rel, sigma, code, confidence, iterations):
+        return jnp.concatenate([
+            T_rel[:3, :].ravel(),
+            jnp.stack([sigma, code.astype(jnp.float32), confidence,
+                       iterations.astype(jnp.float32)])])
+
+    @staticmethod
+    def unpack_vecs(vecs: np.ndarray):
+        """[N,16] -> (T_rels [N,4,4] f64, sigmas [N], codes [N], conf [N],
+        iters [N])."""
+        n = vecs.shape[0]
+        T = np.tile(np.eye(4), (n, 1, 1))
+        T[:, :3, :] = vecs[:, :12].reshape(n, 3, 4).astype(np.float64)
+        return (T, vecs[:, 12].astype(np.float64),
+                vecs[:, 13].astype(np.int32), vecs[:, 14].astype(np.float64),
+                vecs[:, 15].astype(np.int32))
 
 
 def init_state(cfg: MullsConfig) -> SlamState:
@@ -69,9 +92,24 @@ def init_state(cfg: MullsConfig) -> SlamState:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def slam_step(state: SlamState, raw: RawCloud, cfg: MullsConfig):
+def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
+    if isinstance(raw, PackedRawCloud):
+        raw = unpack_raw(raw)  # scans travel quantized; decode on device
     key, k_feat, k_map = jax.random.split(state.key, 3)
+
+    # motion compensation (`cfilter.hpp:412-549`, `mulls_slam.cpp:704-715`).
+    # Deviation from the reference (which undistorts AFTER registration,
+    # re-using the result): the fused step undistorts the raw scan up
+    # front with the uniform-motion prediction T_prev ~ T_rel, like the
+    # reference's optional first-iteration compensation
+    # (`cregistration.hpp:1249-1258`).
+    if cfg.map.motion_compensation_method > 0:
+        from mulls_tpu.ops import motion
+        s = (motion.timestamp_ratio_from_azimuth(raw.xyz, raw.mask)
+             if cfg.map.motion_compensation_method == 2 else raw.ts_ratio)
+        xyz_u = motion.undistort(raw.xyz, s, raw.mask, state.T_prev)
+        raw = raw.replace(xyz=xyz_u)
+
     frame = extract_features(raw, cfg, k_feat)
 
     first = state.frame_idx == 0
@@ -103,10 +141,31 @@ def slam_step(state: SlamState, raw: RawCloud, cfg: MullsConfig):
     new_state = SlamState(local_map=local_map, pose=pose,
                           T_prev=T_prev_next,
                           frame_idx=state.frame_idx + 1, key=key)
-    out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma,
-                  code=jnp.where(first, 1, res.process_code),
-                  confidence=res.confidence, iterations=res.iterations)
+    code = jnp.where(first, 1, res.process_code)
+    out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma, code=code,
+                  confidence=res.confidence, iterations=res.iterations,
+                  vec=StepOut.pack_vec(T_rel, res.sigma, code,
+                                       res.confidence, res.iterations))
     return new_state, out
+
+
+slam_step = partial(jax.jit, static_argnames=("cfg",),
+                    donate_argnums=(0,))(_slam_step_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def slam_scan(state: SlamState, raws: PackedRawCloud, cfg: MullsConfig):
+    """Process a segment of K stacked packed frames in ONE device program
+    (`lax.scan` over the frame axis).  Amortizes per-dispatch link latency
+    K-fold versus per-frame dispatch and gives XLA a whole segment to
+    schedule; returns the carried state and the packed [K, 16] result
+    vectors."""
+
+    def body(st, raw):
+        st, out = _slam_step_impl(st, raw, cfg)
+        return st, out.vec
+
+    return jax.lax.scan(body, state, raws)
 
 
 @dataclass
@@ -117,51 +176,104 @@ class OdometryResult:
     timings: Optional[np.ndarray] = None  # [N, 4] ms (feat/map/reg/loop)
 
 
+def _stack_packed(packed: List[PackedRawCloud]) -> PackedRawCloud:
+    return PackedRawCloud(
+        xyz_q=np.stack([p.xyz_q for p in packed]),
+        intensity_q=np.stack([p.intensity_q for p in packed]),
+        ts_q=np.stack([p.ts_q for p in packed]),
+        n=np.asarray([p.n for p in packed], np.int32))
+
+
+def prefetch_segments(dataset, segment: int, depth: int = 2):
+    """Threaded host pipeline: decode -> pack -> stack ``segment`` frames ->
+    one device_put, running ``depth`` segments ahead of the consumer so
+    disk decode and H2D transfer overlap device compute (a role the
+    reference's synchronous DataIo never had to play; our accelerator sits
+    across a link).  Yields (k, batch) with k = frames in the batch."""
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    stop = _threading.Event()
+
+    def worker():
+        try:
+            buf: List[PackedRawCloud] = []
+            it = iter(dataset) if hasattr(dataset, "__iter__") \
+                else (dataset[i] for i in range(len(dataset)))
+            for frame in it:
+                if stop.is_set():
+                    return
+                buf.append(pack_raw_host(frame))
+                if len(buf) == segment:
+                    q.put((len(buf), jax.device_put(_stack_packed(buf))))
+                    buf = []
+            if buf:
+                # pad the tail by repeating the last frame so every dispatch
+                # has the same [segment] shape (no tail recompile); the
+                # consumer discards the padded outputs
+                k = len(buf)
+                buf = buf + [buf[-1]] * (segment - k)
+                q.put((k, jax.device_put(_stack_packed(buf))))
+            q.put(None)
+        except BaseException as e:  # surface in consumer
+            q.put(e)
+
+    t = _threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 class OdometryPipeline:
-    """Streaming driver: one fused device step per frame, async dispatch."""
+    """Streaming driver: segments of frames run as ONE device program
+    (`slam_scan`), host pack+upload prefetch runs ahead on a thread, and
+    results come back in a single device->host transfer at the end."""
 
-    def __init__(self, cfg: MullsConfig):
+    def __init__(self, cfg: MullsConfig, segment: int = 16):
         self.cfg = cfg
+        self.segment = segment
 
-    def _to_raw(self, frame: dict) -> RawCloud:
-        return RawCloud(xyz=jnp.asarray(frame["xyz"]),
-                        intensity=jnp.asarray(frame["intensity"]),
-                        ts_ratio=jnp.asarray(frame["ts_ratio"]),
-                        mask=jnp.asarray(frame["mask"]))
+    def _to_raw(self, frame: dict) -> PackedRawCloud:
+        return jax.device_put(pack_raw_host(frame))
 
     def run(self, dataset, progress: bool = False,
             profile: bool = False) -> OdometryResult:
         cfg = self.cfg
         n = len(dataset)
         state = init_state(cfg)
-        outs: List[StepOut] = []
+        vec_parts: List[jnp.ndarray] = []  # device [K,16] per segment
         timings = np.zeros((n, 4), np.float64) if profile else None
 
-        for i in range(n):
+        done = 0
+        for k, batch in prefetch_segments(dataset, self.segment):
             t0 = time.perf_counter()
-            raw = self._to_raw(dataset[i])
-            state, out = slam_step(state, raw, cfg)
-            outs.append(out)
+            state, vecs = slam_scan(state, batch, cfg)
+            vec_parts.append(vecs[:k])
+            done += k
             if profile:
-                jax.block_until_ready(out.pose)
-                timings[i, 2] = (time.perf_counter() - t0) * 1e3
-            if progress and i % 50 == 0:
-                print(f"[{i}/{n}] code={int(out.code)} "
-                      f"sigma={float(out.sigma):.4f}", flush=True)
+                jax.block_until_ready(vecs)
+                timings[done - k:done, 2] = (time.perf_counter() - t0) \
+                    * 1e3 / k
+            if progress:
+                print(f"[{done}/{n}] segment dispatched", flush=True)
 
         jax.block_until_ready(state.pose)
 
-        # fetch results in chunks (relative transforms composed in f64 here)
-        def fetch(get):
-            parts = []
-            for s in range(0, n, 256):
-                parts.append(np.asarray(jnp.stack(
-                    [get(o) for o in outs[s:s + 256]])))
-            return np.concatenate(parts) if parts else np.zeros((0,))
-
-        T_rels = fetch(lambda o: o.T_rel).astype(np.float64)
-        codes = [int(c) for c in fetch(lambda o: o.code)]
-        sigmas = [float(s) for s in fetch(lambda o: o.sigma)]
+        # single D2H for the whole run's packed outputs
+        vecs = np.asarray(jnp.concatenate(vec_parts)) \
+            if vec_parts else np.zeros((0, 16), np.float32)
+        T_rels, sig, cod, _, _ = StepOut.unpack_vecs(vecs)
+        codes = [int(c) for c in cod]
+        sigmas = [float(s) for s in sig]
         poses = np.tile(np.eye(4), (n, 1, 1))
         for i in range(1, n):
             # re-orthonormalize in f64 to keep long compositions clean

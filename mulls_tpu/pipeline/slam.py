@@ -22,8 +22,10 @@ import numpy as np
 
 from mulls_tpu.config import MullsConfig
 from mulls_tpu.backend.submap import SlamBackend
+from mulls_tpu.core.cloud import PackedRawCloud, pack_raw_host
 from mulls_tpu.pipeline.odometry import (OdometryResult, RawCloud, SlamState,
-                                         init_state, slam_step)
+                                         StepOut, _stack_packed, init_state,
+                                         slam_scan, slam_step)
 
 
 class SlamPipeline:
@@ -36,11 +38,12 @@ class SlamPipeline:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def _to_raw(self, frame: dict) -> RawCloud:
-        return RawCloud(xyz=jnp.asarray(frame["xyz"]),
-                        intensity=jnp.asarray(frame["intensity"]),
-                        ts_ratio=jnp.asarray(frame["ts_ratio"]),
-                        mask=jnp.asarray(frame["mask"]))
+    def _to_raw(self, frame: dict) -> PackedRawCloud:
+        p = pack_raw_host(frame)
+        return PackedRawCloud(xyz_q=jnp.asarray(p.xyz_q),
+                              intensity_q=jnp.asarray(p.intensity_q),
+                              ts_q=jnp.asarray(p.ts_q),
+                              n=jnp.asarray(p.n))
 
     def run(self, dataset, progress: bool = False) -> OdometryResult:
         cfg = self.cfg
@@ -59,15 +62,17 @@ class SlamPipeline:
         i = 0
         while i < n:
             seg_end = min(i + self.segment, n)
-            outs = []
             t0 = time.perf_counter()
-            for k in range(i, seg_end):
-                raw = self._to_raw(dataset[k])
-                state, out = slam_step(state, raw, cfg)
-                outs.append(out)
-            T_rels = np.asarray(jnp.stack([o.T_rel for o in outs]), np.float64)
-            seg_codes = np.asarray(jnp.stack([o.code for o in outs]))
-            seg_sigma = np.asarray(jnp.stack([o.sigma for o in outs]))
+            packed = [pack_raw_host(dataset[k]) for k in range(i, seg_end)]
+            k_real = len(packed)
+            # pad the tail so every dispatch keeps the same [segment] shape
+            packed = packed + [packed[-1]] * (self.segment - k_real)
+            batch = jax.device_put(_stack_packed(packed))
+            # the whole segment is ONE device program; one D2H for its
+            # packed outputs
+            state, vecs = slam_scan(state, batch, cfg)
+            T_rels, seg_sigma, seg_codes, _, _ = StepOut.unpack_vecs(
+                np.asarray(vecs[:k_real]))
             t1 = time.perf_counter()
             timings[i:seg_end, 2] = (t1 - t0) * 1e3 / (seg_end - i)
 
