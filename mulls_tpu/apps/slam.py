@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progress", action="store_true")
     p.add_argument("--loop_closure_detection_on", type=int, default=None,
                    help="override the flagfile's loop-closure switch (0|1)")
+    p.add_argument("--baseline_reg_method", default="",
+                   help="replace MULLS-ICP with a baseline: ndt | gicp")
     return p
 
 
@@ -66,10 +68,19 @@ def main(argv=None) -> int:
             cfg.submap,
             loop_closure_detection_on=bool(args.loop_closure_detection_on)))
 
+    # baseline odometry back-ends (`--baseline_reg_method`, NDT / VGICP)
+    if args.baseline_reg_method:
+        cfg = dataclasses.replace(cfg, baseline=dataclasses.replace(
+            cfg.baseline, method=args.baseline_reg_method))
+
     # with the back-end on, run the full SLAM pipeline (submaps + loop
     # closure + PGO, `mulls_slam.cpp:451-628`); otherwise the leaner
     # pure-odometry streaming loop
-    if cfg.submap.loop_closure_detection_on:
+    if cfg.baseline.method:
+        from mulls_tpu.pipeline.baseline import BaselinePipeline
+        pipe = BaselinePipeline(cfg)
+        res = pipe.run(ds, progress=args.progress)
+    elif cfg.submap.loop_closure_detection_on:
         pipe = SlamPipeline(cfg)
         res = pipe.run(ds, progress=args.progress)
         backend = getattr(res, "backend", None)

@@ -226,6 +226,22 @@ class MapConfig:
 
 
 @dataclass(frozen=True)
+class BaselineConfig:
+    """Baseline odometry back-ends (reference `--baseline_reg_method`,
+    `mulls_slam.cpp:195-198, 634-639`): plain voxel downsample + NDT or
+    voxelized GICP instead of feature extraction + MULLS-ICP."""
+
+    method: str = ""  # "" (off) | "ndt" | "gicp"
+    voxel_down_size: float = 0.4       # pre-registration downsample
+    table_resolution: float = 1.5      # NDT / VGICP voxel grid
+    gicp_cov_radius: float = 1.0       # source-point covariance radius
+    frame_budget: int = 16384          # fixed frame shape after downsample
+    map_budget: int = 40960            # fixed map shape
+    max_iter: int = 30
+    direct7: bool = True               # NDT neighbor mode
+
+
+@dataclass(frozen=True)
 class SubmapConfig:
     """Submap segmentation + pose graph (reference `utility.hpp:743-792`,
     `src/build_pose_graph.cpp`, `src/graph_optimizer.cpp`)."""
@@ -280,6 +296,7 @@ class MullsConfig:
     reg: RegConfig = field(default_factory=RegConfig)
     map: MapConfig = field(default_factory=MapConfig)
     submap: SubmapConfig = field(default_factory=SubmapConfig)
+    baseline: BaselineConfig = field(default_factory=BaselineConfig)
     seed: int = 0
 
     def replace(self, **kw) -> "MullsConfig":
@@ -358,6 +375,8 @@ _FLAG_MAP = {
     "s2m_frequency": ("map", "s2m_frequency", int),
     "initial_guess_mode": ("map", "initial_guess_mode", int),
     "motion_compensation_method": ("map", "motion_compensation_method", int),
+    "baseline_reg_method": ("baseline", "method", str),
+    "reg_voxel_size": ("baseline", "voxel_down_size", float),
     "loop_closure_detection_on": ("submap", "loop_closure_detection_on", bool),
     "submap_accu_tran": ("submap", "submap_accu_tran", float),
     "submap_accu_rot": ("submap", "submap_accu_rot", float),
@@ -406,7 +425,7 @@ def load_flagfile(path: str, base: Optional[MullsConfig] = None) -> MullsConfig:
     cfg = base or MullsConfig()
     sections: dict = {
         "preprocess": dict(), "ground": dict(), "feature": dict(),
-        "reg": dict(), "map": dict(), "submap": dict(),
+        "reg": dict(), "map": dict(), "submap": dict(), "baseline": dict(),
     }
     with open(path) as f:
         for line in f:

@@ -133,3 +133,32 @@ def test_slam_loop_closure_synthetic(rng):
     # trajectory stays near ground truth (clean synthetic world)
     err = np.linalg.norm(res.poses[:, :3, 3] - gt[:, :3, 3], axis=1)
     assert err.max() < 1.0, err
+
+
+@pytest.mark.parametrize("method", ["ndt", "gicp"])
+def test_baseline_odometry_synthetic(rng, method):
+    """NDT / VGICP baseline odometry (`--baseline_reg_method`) recovers a
+    straight constant-velocity trajectory through a structured world."""
+    import dataclasses
+    from mulls_tpu.pipeline.baseline import BaselinePipeline
+
+    cfg = ge._small_cfg()
+    cfg = dataclasses.replace(cfg, baseline=dataclasses.replace(
+        cfg.baseline, method=method, frame_budget=4096, map_budget=8192,
+        table_resolution=1.8, voxel_down_size=0.5, max_iter=20))
+
+    world = _loop_world(rng, n=60000, extent=40.0)
+    n_frames = 8
+    gt = []
+    for k in range(n_frames):
+        T = np.eye(4)
+        T[0, 3] = 0.6 * k
+        gt.append(T)
+    frames = _ListDataset(
+        _simulate_scan(world, g, cfg.shapes.n_raw, 30.0, rng) for g in gt)
+
+    res = BaselinePipeline(cfg, segment=4).run(frames)
+    assert all(c == 1 for c in res.codes), res.codes
+    steps = np.diff(res.poses[:, :3, 3], axis=0)
+    np.testing.assert_allclose(steps[1:, 0], 0.6, atol=0.1)
+    assert np.all(np.abs(steps[1:, 1:]) < 0.1)
