@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the flagfile's loop-closure switch (0|1)")
     p.add_argument("--baseline_reg_method", default="",
                    help="replace MULLS-ICP with a baseline: ndt | gicp")
+    p.add_argument("--output_map_pcd", default=None,
+                   help="write the merged, outlier-filtered map cloud")
+    p.add_argument("--output_map_bev", default=None,
+                   help="write a birds-eye height image of the map")
+    p.add_argument("--map_voxel_size", type=float, default=0.25)
     return p
 
 
@@ -88,6 +93,8 @@ def main(argv=None) -> int:
             print(f"[mulls_tpu] back-end: {len(backend.submaps)} submaps, "
                   f"{len(backend.edges)} edges, "
                   f"{sum(1 for e in backend.edges if e.kind == 2)} reg edges")
+            # end-of-run inner-submap refinement (`mulls_slam.cpp:876-927`)
+            pipe.refine(res)
     else:
         pipe = OdometryPipeline(cfg)
         res = pipe.run(ds, progress=args.progress,
@@ -121,6 +128,15 @@ def main(argv=None) -> int:
         print(f"[mulls_tpu] mean per-frame: total {t.sum(1).mean():.1f} ms "
               f"(feature {t[:, 0].mean():.1f} | map {t[:, 1].mean():.1f} | "
               f"reg {t[:, 2].mean():.1f} | loop {t[:, 3].mean():.1f})")
+
+    if args.output_map_pcd or args.output_map_bev:
+        from mulls_tpu.mapping.assembly import (accumulate_map,
+                                                radius_outlier_filter,
+                                                write_map_outputs)
+        pts = accumulate_map(ds, poses_lidar, voxel_res=args.map_voxel_size)
+        pts = radius_outlier_filter(pts)
+        write_map_outputs(pts, args.output_map_pcd, args.output_map_bev)
+        print(f"[mulls_tpu] map assembled: {len(pts)} points")
 
     if args.gt_body_pose_file_path:
         gt_body = kitti_io.read_kitti_poses(args.gt_body_pose_file_path)

@@ -1,0 +1,128 @@
+"""End-of-run trajectory refinement (`mulls_slam.cpp:832-931`).
+
+Two modes, mirroring the reference:
+
+* :func:`inner_submap_refine` — the default "option B": for every submap,
+  optimize the member frames' poses with both endpoint frames FIXED to
+  their (loop-closure-corrected) values and adjacent-frame odometry edges
+  in between (`mulls_slam.cpp:876-927`, dense-schur small problems).  This
+  re-distributes each submap's loop-closure correction smoothly over its
+  interior frames.
+* :func:`framewise_pgo` — "option A": one graph over ALL frames with
+  adjacent odometry edges everywhere plus the submap registration edges
+  applied between member frames (`mulls_slam.cpp:835-875`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mulls_tpu.backend.pgo import PoseGraph, optimize_pose_graph
+from mulls_tpu.core import se3
+
+
+def _poses_to_tq(poses: np.ndarray):
+    t = poses[:, :3, 3].astype(np.float32)
+    q = np.asarray(se3.quat_from_rotation(
+        jnp.asarray(poses[:, :3, :3].astype(np.float32))))
+    return t, q
+
+
+def _tq_to_poses(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    n = len(t)
+    R = np.asarray(se3.rotation_from_quat(jnp.asarray(q)), np.float64)
+    out = np.tile(np.eye(4), (n, 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = t.astype(np.float64)
+    return out
+
+
+def _adjacent_edges(poses_odom: np.ndarray, lo: int, hi: int):
+    """Relative measurements T_k^-1 T_{k+1} from the raw odometry."""
+    idx_i = np.arange(lo, hi)
+    T_rel = np.einsum("nij,njk->nik",
+                      np.linalg.inv(poses_odom[lo:hi]),
+                      poses_odom[lo + 1:hi + 1])
+    t = T_rel[:, :3, 3].astype(np.float32)
+    q = np.asarray(se3.quat_from_rotation(
+        jnp.asarray(T_rel[:, :3, :3].astype(np.float32))))
+    return idx_i, t, q
+
+
+def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
+                        boundaries: Sequence[Tuple[int, int]],
+                        iterations: int = 15) -> np.ndarray:
+    """Refine interior frame poses submap by submap.
+
+    Args:
+      poses: [N,4,4] current frame poses (endpoints already corrected by
+        the submap-level PGO).
+      poses_odom: [N,4,4] raw odometry poses (source of adjacent-edge
+        measurements — the loop-corrected poses would make the edges
+        trivially consistent).
+      boundaries: (frame_begin, frame_end) inclusive ranges per submap.
+    Returns refined [N,4,4] poses.
+    """
+    out = poses.copy()
+    for lo, hi in boundaries:
+        if hi - lo < 2:
+            continue
+        sub = poses[lo:hi + 1]
+        t, q = _poses_to_tq(sub)
+        ei, et, eq = _adjacent_edges(poses_odom, lo, hi)
+        m = hi - lo + 1
+        fixed = np.zeros(m, bool)
+        fixed[0] = fixed[-1] = True
+        graph = PoseGraph(
+            node_t=jnp.asarray(t), node_q=jnp.asarray(q),
+            edge_i=jnp.asarray(ei - lo, jnp.int32),
+            edge_j=jnp.asarray(ei - lo + 1, jnp.int32),
+            edge_t=jnp.asarray(et), edge_q=jnp.asarray(eq),
+            edge_info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32),
+                                       (m - 1, 6, 6)),
+            edge_mask=jnp.ones(m - 1, bool),
+            fixed=jnp.asarray(fixed))
+        nt, nq, _ = optimize_pose_graph(graph, iterations=iterations)
+        out[lo:hi + 1] = _tq_to_poses(np.asarray(nt), np.asarray(nq))
+    return out
+
+
+def framewise_pgo(poses_odom: np.ndarray,
+                  reg_edges: List[Tuple[int, int, np.ndarray, np.ndarray]],
+                  fixed_first: bool = True,
+                  iterations: int = 25) -> np.ndarray:
+    """Whole-trajectory PGO: adjacent odometry edges + frame-level loop
+    registration edges (i, j, T_ij [4,4], info [6,6])."""
+    n = len(poses_odom)
+    t, q = _poses_to_tq(poses_odom)
+    ei, et, eq = _adjacent_edges(poses_odom, 0, n - 1)
+    e_i = [ei]
+    e_j = [ei + 1]
+    e_t = [et]
+    e_q = [eq]
+    infos = [np.broadcast_to(np.eye(6, dtype=np.float32), (n - 1, 6, 6))]
+    for (i, j, T_ij, info) in reg_edges:
+        e_i.append(np.asarray([i]))
+        e_j.append(np.asarray([j]))
+        e_t.append(T_ij[None, :3, 3].astype(np.float32))
+        e_q.append(np.asarray(se3.quat_from_rotation(
+            jnp.asarray(T_ij[None, :3, :3].astype(np.float32)))))
+        infos.append(info[None].astype(np.float32))
+    fixed = np.zeros(n, bool)
+    if fixed_first:
+        fixed[0] = True
+    graph = PoseGraph(
+        node_t=jnp.asarray(t), node_q=jnp.asarray(q),
+        edge_i=jnp.asarray(np.concatenate(e_i), jnp.int32),
+        edge_j=jnp.asarray(np.concatenate(e_j), jnp.int32),
+        edge_t=jnp.asarray(np.concatenate(e_t)),
+        edge_q=jnp.asarray(np.concatenate(e_q)),
+        edge_info=jnp.asarray(np.concatenate(infos)),
+        edge_mask=jnp.ones(sum(len(x) for x in e_i), bool),
+        fixed=jnp.asarray(fixed))
+    nt, nq, _ = optimize_pose_graph(graph, iterations=iterations,
+                                    robust_kernel=True)
+    return _tq_to_poses(np.asarray(nt), np.asarray(nq))

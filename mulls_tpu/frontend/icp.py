@@ -361,3 +361,81 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
     return RegResult(transform=T, information=info,
                      sigma=jnp.sqrt(sigma2), confidence=conf,
                      process_code=code, iterations=it)
+
+
+def ground_3dof_estimate(source_ground: FeatureCloud,
+                         target_ground: FeatureCloud,
+                         cfg: RegConfig,
+                         init_guess: jnp.ndarray,
+                         max_iter: int = 10) -> RegResult:
+    """LeGO-LOAM-style two-step variant: estimate only (tz, roll, pitch)
+    from ground point-to-plane correspondences
+    (`lls_icp_3dof_ground`, `cregistration.hpp:1443-1582, 2278-2320`)."""
+    cos_bearing = math.cos(math.radians(cfg.normal_bearing))
+
+    def body(state):
+        it, T, thre, done, sigma2 = state
+        s_xyz = se3.transform_points(T, source_ground.xyz)
+        s_dir = se3.rotate_vectors(T, source_ground.normal)
+        corr = _find_corres(s_xyz, s_dir, source_ground.mask, target_ground,
+                            thre, cos_bearing, normal_check=True)
+        q = target_ground.xyz[corr.t_idx]
+        tn = target_ground.normal[corr.t_idx]
+        w = corr.valid.astype(jnp.float32)
+        _, _, J, d = _pt2pl_system(s_xyz, q, tn, w)
+        # columns (tz, alpha, beta) of the full 6-dof jacobian
+        J3 = J[:, jnp.asarray([2, 3, 4])]
+        ATA = jnp.einsum("n,ni,nj->ij", w, J3, J3) + 1e-6 * jnp.eye(3)
+        ATb = jnp.einsum("n,ni,n->i", w, J3, d)
+        x3 = jnp.linalg.solve(ATA, ATb)
+        x6 = jnp.zeros((6,)).at[jnp.asarray([2, 3, 4])].set(x3)
+        T_step = se3.from_x(x6)
+        r = J3 @ x3 - d
+        nobs = jnp.maximum(jnp.sum(w) - 3.0, 1.0)
+        sigma2_new = jnp.sum(w * r * r) / nobs
+        T_new = T_step @ T
+        step = jnp.linalg.norm(x3)
+        done_new = (it >= 2) & (step < cfg.converge_tran)
+        thre_new = jnp.maximum(thre / cfg.dis_thre_update_rate,
+                               cfg.corr_dis_thre_min)
+        return (it + 1, T_new, thre_new, done_new, sigma2_new)
+
+    def cond(state):
+        it, _, _, done, _ = state
+        return (~done) & (it < max_iter)
+
+    it, T, _, _, sigma2 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init_guess.astype(jnp.float32),
+                     jnp.float32(cfg.corr_dis_thre_init), jnp.bool_(False),
+                     jnp.float32(1.0)))
+    T = T.at[:3, :3].set(se3.orthonormalize(T[:3, :3]))
+    return RegResult(transform=T, information=jnp.eye(6),
+                     sigma=jnp.sqrt(sigma2), confidence=jnp.float32(1.0),
+                     process_code=jnp.int32(1), iterations=it)
+
+
+def mm_lls_icp_4dof_global(source: Dict[str, FeatureCloud],
+                           target: Dict[str, FeatureCloud],
+                           cfg: RegConfig,
+                           heading_step_d: float = 15.0,
+                           max_iter: int = 12):
+    """TLS-style global registration: brute-force heading sweep, one
+    MULLS-ICP per trial yaw, keep the best (sigma, confidence) score
+    (`mm_lls_icp_4dof_global`, `cregistration.hpp:1584-1681`)."""
+    n_try = max(int(round(360.0 / heading_step_d)), 1)
+    yaws = jnp.asarray(
+        [math.radians(k * heading_step_d) for k in range(n_try)],
+        jnp.float32)
+
+    def one(yaw):
+        init = se3.make_transform(jnp.zeros(3),
+                                  jnp.stack([0.0 * yaw, 0.0 * yaw, yaw]))
+        return mm_lls_icp(source, target, cfg, init, max_iter=max_iter)
+
+    results = jax.lax.map(one, yaws)
+    ok = results.process_code == 1
+    score = jnp.where(ok, results.confidence / jnp.maximum(results.sigma,
+                                                           1e-4), -1.0)
+    best = jnp.argmax(score)
+    pick = lambda x: jax.tree_util.tree_map(lambda a: a[best], x)
+    return pick(results), jnp.degrees(yaws[best]), score[best]

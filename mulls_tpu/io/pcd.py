@@ -73,7 +73,8 @@ def read_pcd(path: str) -> dict:
 
 
 def write_pcd(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None,
-              normals: np.ndarray | None = None, binary: bool = True) -> None:
+              normals: np.ndarray | None = None, binary: bool = True,
+              extra_fields: dict | None = None) -> None:
     n = len(xyz)
     fields = ["x", "y", "z"]
     cols = [xyz[:, 0], xyz[:, 1], xyz[:, 2]]
@@ -83,6 +84,9 @@ def write_pcd(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None,
     if normals is not None:
         fields += ["normal_x", "normal_y", "normal_z"]
         cols += [normals[:, 0], normals[:, 1], normals[:, 2]]
+    for name, col in (extra_fields or {}).items():
+        fields.append(name)
+        cols.append(np.asarray(col, np.float32))
     data = np.stack(cols, axis=-1).astype(np.float32)
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"

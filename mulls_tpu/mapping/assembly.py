@@ -1,0 +1,108 @@
+"""End-of-run map assembly (`mulls_slam.cpp:959-1028`).
+
+The reference re-reads every scan, transforms it by the (optimized) pose,
+voxel-downsamples, SOR-filters, merges into one cloud and writes a pcd +
+a 2D map image.  Here: frames stream through host voxel accumulation (a
+dict-of-voxels keyed on the merged grid, keeping one point per voxel like
+`cfilter.hpp:99-153`), outliers are removed by a device radius-count
+filter (neighbor counts from the fused moments kernel — the reference's
+statistical outlier removal serves the same purpose), and the BEV image
+is a height/density raster.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+from mulls_tpu.io.pcd import write_pcd
+
+
+def accumulate_map(dataset, poses: np.ndarray, voxel_res: float = 0.25,
+                   every_n: int = 1, max_points: int = 6_000_000,
+                   dist_max: float = 90.0) -> np.ndarray:
+    """Merge transformed scans keeping one point per global voxel."""
+    table: dict = {}
+    inv_res = 1.0 / voxel_res
+    for i in range(0, min(len(dataset), len(poses)), every_n):
+        frame = dataset[i]
+        m = frame["mask"]
+        xyz = frame["xyz"][m]
+        r = np.linalg.norm(xyz, axis=1)
+        xyz = xyz[(r > 1.5) & (r < dist_max)]
+        world = xyz @ poses[i][:3, :3].T + poses[i][:3, 3]
+        keys = np.floor(world * inv_res).astype(np.int64)
+        lin = (keys[:, 0] * 73856093) ^ (keys[:, 1] * 19349663) \
+            ^ (keys[:, 2] * 83492791)
+        # keep the first point seen per voxel
+        _, first = np.unique(lin, return_index=True)
+        for k, p in zip(lin[first], world[first]):
+            if k not in table:
+                table[k] = p
+        if len(table) > max_points:
+            break
+    if not table:
+        return np.zeros((0, 3), np.float32)
+    return np.asarray(list(table.values()), np.float32)
+
+
+def radius_outlier_filter(points: np.ndarray, radius: float = 1.0,
+                          min_neighbors: int = 3,
+                          chunk: int = 200_000) -> np.ndarray:
+    """Drop points with too few neighbors (device neighbor counts; plays
+    the role of the reference's pcl SOR, `mulls_slam.cpp:992-999`)."""
+    import jax.numpy as jnp
+    from mulls_tpu.ops.neighbors import radius_moments
+
+    if len(points) == 0:
+        return points
+    keep = np.zeros(len(points), bool)
+    pts_j = jnp.asarray(points)
+    mask_j = jnp.ones(len(points), bool)
+    for s in range(0, len(points), chunk):
+        q = pts_j[s:s + chunk]
+        qm = mask_j[s:s + chunk]
+        counts = np.asarray(radius_moments(q, qm, pts_j, mask_j,
+                                           radius)["count"])
+        keep[s:s + chunk] = counts >= (min_neighbors + 1)  # self counts
+    return points[keep]
+
+
+def bev_image(points: np.ndarray, resolution: float = 0.5):
+    """[N,3] -> (height_img [H,W] f32, extent) birds-eye height raster."""
+    if len(points) == 0:
+        return np.zeros((1, 1), np.float32), (0, 1, 0, 1)
+    lo = points[:, :2].min(0)
+    hi = points[:, :2].max(0)
+    dims = np.maximum(((hi - lo) / resolution).astype(int) + 1, 1)
+    img = np.full(dims[::-1], np.nan, np.float32)
+    ij = ((points[:, :2] - lo) / resolution).astype(int)
+    # max-height per cell
+    order = np.argsort(points[:, 2])
+    img[ij[order, 1], ij[order, 0]] = points[order, 2]
+    return img, (lo[0], hi[0], lo[1], hi[1])
+
+
+def write_map_outputs(points: np.ndarray, out_pcd: Optional[str] = None,
+                      out_bev: Optional[str] = None,
+                      bev_resolution: float = 0.5) -> None:
+    if out_pcd:
+        os.makedirs(os.path.dirname(out_pcd) or ".", exist_ok=True)
+        write_pcd(out_pcd, points)
+    if out_bev:
+        os.makedirs(os.path.dirname(out_bev) or ".", exist_ok=True)
+        img, extent = bev_image(points, bev_resolution)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(10, 10))
+            ax.imshow(img, origin="lower", extent=extent, cmap="viridis")
+            ax.set_xlabel("x [m]")
+            ax.set_ylabel("y [m]")
+            fig.savefig(out_bev, dpi=150, bbox_inches="tight")
+            plt.close(fig)
+        except ImportError:
+            np.save(os.path.splitext(out_bev)[0] + ".npy", img)

@@ -1,0 +1,75 @@
+"""Mid-run checkpoint / resume.
+
+The reference has none (SURVEY.md §5.4 — it only appends poses to disk
+every frame, leaving a usable trajectory prefix after a crash).  Pod-scale
+runs need real resumability, so a checkpoint captures the whole session:
+the on-device SLAM state (local map + pose + motion model + RNG), the
+host back-end (submaps, pose-graph edges, cooling counters), and the
+trajectory so far.  Format: one pickle of numpy pytrees (no live device
+buffers), written atomically.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tempfile
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, state, frame_idx: int, poses: np.ndarray,
+                    poses_odom: np.ndarray, codes, sigmas,
+                    backend=None) -> None:
+    payload = {
+        "version": 1,
+        "frame_idx": int(frame_idx),
+        "state": jax.device_get(state),
+        "poses": np.asarray(poses),
+        "poses_odom": np.asarray(poses_odom),
+        "codes": list(codes),
+        "sigmas": list(sigmas),
+    }
+    if backend is not None:
+        payload["backend"] = {
+            "submaps": backend.submaps,
+            "edges": backend.edges,
+            "events": backend.events,
+            "cooling": backend.cooling,
+            "accu": (backend._accu_tran, backend._accu_rot_deg,
+                     backend._accu_frames),
+            "optimized": backend.optimized,
+        }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)  # atomic
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str, backend=None) -> Optional[dict]:
+    """Returns the payload with `state` re-uploaded to device, or None.
+    If ``backend`` is given, its host state is restored in place."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    payload["state"] = jax.device_put(payload["state"])
+    if backend is not None and "backend" in payload:
+        b = payload["backend"]
+        backend.submaps = b["submaps"]
+        backend.edges = b["edges"]
+        backend.events = b["events"]
+        backend.cooling = b["cooling"]
+        (backend._accu_tran, backend._accu_rot_deg,
+         backend._accu_frames) = b["accu"]
+        backend.optimized = b["optimized"]
+    return payload

@@ -29,9 +29,13 @@ from mulls_tpu.pipeline.odometry import (OdometryResult, RawCloud, SlamState,
 
 
 class SlamPipeline:
-    def __init__(self, cfg: MullsConfig, segment: int = 8):
+    def __init__(self, cfg: MullsConfig, segment: int = 8,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 8):
         self.cfg = cfg
         self.segment = segment
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every  # in segments
         self._key = jax.random.key(cfg.seed + 1)
 
     def _next_key(self):
@@ -52,14 +56,38 @@ class SlamPipeline:
         backend = SlamBackend(cfg)
 
         poses = np.tile(np.eye(4), (n, 1, 1))
+        poses_odom = np.tile(np.eye(4), (n, 1, 1))  # pure odometry chain
         codes: List[int] = []
         sigmas: List[float] = []
         frame_submap = np.full(n, -1, np.int32)  # submap id per frame
         submap_open_begin = 0
         cur_pose = np.eye(4)
+        cur_pose_odom = np.eye(4)
         timings = np.zeros((n, 4), np.float64)
 
+        # resume from a checkpoint if one exists (SURVEY.md §5.4)
         i = 0
+        seg_count = 0
+        if self.checkpoint_path:
+            from mulls_tpu.pipeline.checkpoint import load_checkpoint
+            ck = load_checkpoint(self.checkpoint_path, backend=backend)
+            if ck is not None and 0 < ck["frame_idx"] <= n:
+                state = ck["state"]
+                i = ck["frame_idx"]
+                m = min(i, len(ck["poses"]))
+                poses[:m] = ck["poses"][:m]
+                poses_odom[:m] = ck["poses_odom"][:m]
+                codes = list(ck["codes"])[:m]
+                sigmas = list(ck["sigmas"])[:m]
+                cur_pose = poses[i - 1].copy()
+                cur_pose_odom = poses_odom[i - 1].copy()
+                submap_open_begin = (backend.submaps[-1].frame_end + 1
+                                     if backend.submaps else 0)
+                for s in backend.submaps:
+                    frame_submap[s.frame_begin:s.frame_end + 1] = s.sid
+                print(f"[mulls_tpu] resumed at frame {i} "
+                      f"({len(backend.submaps)} submaps)")
+
         while i < n:
             seg_end = min(i + self.segment, n)
             t0 = time.perf_counter()
@@ -82,7 +110,9 @@ class SlamPipeline:
                 T[:3, :3] = u @ vt
                 if k > 0:
                     cur_pose = cur_pose @ T
+                    cur_pose_odom = cur_pose_odom @ T
                 poses[k] = cur_pose
+                poses_odom[k] = cur_pose_odom
                 codes.append(int(seg_codes[k - i]))
                 sigmas.append(float(seg_sigma[k - i]))
                 if k > 0:
@@ -124,8 +154,28 @@ class SlamPipeline:
                       f"edges={len(backend.edges)} "
                       f"sigma={sigmas[-1]:.4f}", flush=True)
             i = seg_end
+            seg_count += 1
+            if self.checkpoint_path and \
+                    seg_count % self.checkpoint_every == 0:
+                from mulls_tpu.pipeline.checkpoint import save_checkpoint
+                save_checkpoint(self.checkpoint_path, state, i, poses,
+                                poses_odom, codes, sigmas, backend)
 
         res = OdometryResult(poses=poses, codes=codes, sigmas=sigmas,
                              timings=timings)
         res.backend = backend
+        res.poses_odom = poses_odom
+        res.frame_submap = frame_submap
         return res
+
+    def refine(self, res: OdometryResult) -> np.ndarray:
+        """Inner-submap end-of-run refinement (`mulls_slam.cpp:876-927`):
+        redistribute the back-end's corrections over each submap's
+        interior frames.  Returns (and stores) the refined poses."""
+        from mulls_tpu.backend.refine import inner_submap_refine
+        backend = getattr(res, "backend", None)
+        if backend is None or len(backend.submaps) < 1:
+            return res.poses
+        bounds = [(s.frame_begin, s.frame_end) for s in backend.submaps]
+        res.poses = inner_submap_refine(res.poses, res.poses_odom, bounds)
+        return res.poses

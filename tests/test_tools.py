@@ -1,0 +1,75 @@
+"""Aux tooling: format transformers, offline eval, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mulls_tpu.apps import eval_run, format_transform
+from mulls_tpu.io import kitti as kitti_io
+from mulls_tpu.io.pcd import read_pcd
+
+
+def test_bin2pcd_roundtrip(tmp_path, rng):
+    pts = rng.uniform(-10, 10, (200, 4)).astype(np.float32)
+    binp = tmp_path / "scan.bin"
+    pts.tofile(binp)
+    out = tmp_path / "scan.pcd"
+    format_transform.main(["bin2pcd", str(binp), str(out)])
+    d = read_pcd(str(out))
+    np.testing.assert_allclose(d["xyz"], pts[:, :3], atol=1e-6)
+    # the KITTI reader rescales [0,1] reflectance to [0,255]
+    # (`dataio.hpp:357-379` semantics)
+    np.testing.assert_allclose(d["intensity"], pts[:, 3] * 255.0, rtol=1e-5)
+
+
+def test_labelbin2pcd(tmp_path, rng):
+    pts = rng.uniform(-10, 10, (100, 4)).astype(np.float32)
+    labels = rng.integers(0, 260, 100).astype(np.uint32)
+    binp = tmp_path / "scan.bin"
+    labp = tmp_path / "scan.label"
+    pts.tofile(binp)
+    labels.astype(np.uint32).tofile(labp)
+    out = tmp_path / "scan.pcd"
+    format_transform.main(["labelbin2pcd", str(binp), str(labp), str(out)])
+    d = read_pcd(str(out))
+    np.testing.assert_array_equal(d["curvature"].astype(np.uint32),
+                                  labels & 0xFFFF)
+
+
+def test_eval_run_diagnosis(tmp_path):
+    n = 30
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n) * 1.0
+    est = gt.copy()
+    est[:, 0, 3] += np.linspace(0, 0.2, n)  # mild drift
+    est[10, 1, 3] += 0.5  # one bad frame
+    est_f = tmp_path / "est.txt"
+    gt_f = tmp_path / "gt.txt"
+    kitti_io.write_kitti_poses(str(est_f), est)
+    kitti_io.write_kitti_poses(str(gt_f), gt)
+    errs, flagged = eval_run.adjacent_error_diagnosis(gt, est)
+    assert 10 in flagged and 11 in flagged
+    assert len(flagged) <= 4
+    out = tmp_path / "eval.json"
+    eval_run.main(["--est_pose_file", str(est_f), "--gt_pose_file",
+                   str(gt_f), "--json_out", str(out)])
+    assert out.exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from mulls_tpu.pipeline import checkpoint as ck
+
+    state = {"a": jnp.arange(5), "b": (jnp.eye(3), jnp.float32(2.0))}
+    path = str(tmp_path / "run.ckpt")
+    poses = np.tile(np.eye(4), (4, 1, 1))
+    ck.save_checkpoint(path, state, 3, poses, poses, [1, 1, 1], [0.1] * 3)
+    payload = ck.load_checkpoint(path)
+    assert payload["frame_idx"] == 3
+    np.testing.assert_array_equal(np.asarray(payload["state"]["a"]),
+                                  np.arange(5))
+    np.testing.assert_allclose(np.asarray(payload["state"]["b"][0]),
+                               np.eye(3))
+    assert payload["codes"] == [1, 1, 1]
+    assert ck.load_checkpoint(str(tmp_path / "missing.ckpt")) is None
