@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the flagfile's loop-closure switch (0|1)")
     p.add_argument("--baseline_reg_method", default="",
                    help="replace MULLS-ICP with a baseline: ndt | gicp")
+    p.add_argument("--semantic_kitti_label_folder", default=None,
+                   help="Semantic-KITTI .label folder (enables the "
+                        "semantic-assisted extraction path)")
     p.add_argument("--output_map_pcd", default=None,
                    help="write the merged, outlier-filtered map cloud")
     p.add_argument("--output_map_bev", default=None,
@@ -62,12 +65,21 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = (load_flagfile(args.flagfile) if args.flagfile else MullsConfig())
 
-    ds = FolderDataset(args.point_cloud_folder, cfg.shapes.n_raw,
-                       ext=args.pc_format, begin=args.frame_num_begin,
-                       end=args.frame_num_end, step=args.frame_step)
+    import dataclasses
+    if args.semantic_kitti_label_folder:
+        from mulls_tpu.io.dataset import SemanticKittiDataset
+        ds = SemanticKittiDataset(
+            args.point_cloud_folder, args.semantic_kitti_label_folder,
+            cfg.shapes.n_raw, begin=args.frame_num_begin,
+            end=args.frame_num_end, step=args.frame_step)
+        cfg = dataclasses.replace(cfg, feature=dataclasses.replace(
+            cfg.feature, semantic_assist_on=True))
+    else:
+        ds = FolderDataset(args.point_cloud_folder, cfg.shapes.n_raw,
+                           ext=args.pc_format, begin=args.frame_num_begin,
+                           end=args.frame_num_end, step=args.frame_step)
     print(f"[mulls_tpu] {len(ds)} frames from {args.point_cloud_folder}")
 
-    import dataclasses
     if args.loop_closure_detection_on is not None:
         cfg = dataclasses.replace(cfg, submap=dataclasses.replace(
             cfg.submap,

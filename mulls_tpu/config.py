@@ -134,6 +134,11 @@ class FeatureConfig:
     cloud_pca_neigh_r: float = 0.7
     cloud_pca_neigh_k: int = 25
     cloud_pca_neigh_k_min: int = 7
+    # Semantic-KITTI assistance (`--semantic_assist_on`,
+    # `cfilter.hpp:2448-2608`): moving-object pre-filter + per-class label
+    # whitelists within the labeled radius
+    semantic_assist_on: bool = False
+    semantic_labeled_radius: float = 45.0
     pca_down_rate: int = 1
     unit_dist: float = 10.0  # distance-adaptive PCA unit distance
     use_distance_adaptive_pca: bool = False
@@ -375,6 +380,7 @@ _FLAG_MAP = {
     "s2m_frequency": ("map", "s2m_frequency", int),
     "initial_guess_mode": ("map", "initial_guess_mode", int),
     "motion_compensation_method": ("map", "motion_compensation_method", int),
+    "semantic_assist_on": ("feature", "semantic_assist_on", bool),
     "baseline_reg_method": ("baseline", "method", str),
     "reg_voxel_size": ("baseline", "voxel_down_size", float),
     "loop_closure_detection_on": ("submap", "loop_closure_detection_on", bool),

@@ -8,7 +8,7 @@ with validity masks; every kernel treats masked slots as absent.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,7 @@ class RawCloud:
     intensity: jnp.ndarray  # [N] f32
     ts_ratio: jnp.ndarray  # [N] f32, in-frame timestamp ratio (motion comp.)
     mask: jnp.ndarray  # [N] bool
+    label: Optional[jnp.ndarray] = None  # [N] i32 Semantic-KITTI class id
 
     @property
     def capacity(self) -> int:
@@ -63,6 +64,7 @@ class PackedRawCloud:
     intensity_q: jnp.ndarray  # [N] uint8
     ts_q: jnp.ndarray  # [N] uint16, ratio * 65535
     n: jnp.ndarray  # [] int32 valid-point count (prefix is valid)
+    label: Optional[jnp.ndarray] = None  # [N] uint16 semantic class id
 
     @property
     def capacity(self) -> int:
@@ -80,6 +82,8 @@ def pack_raw_host(data: dict) -> "PackedRawCloud":
         ts_q=np.clip(np.rint(data["ts_ratio"] * 65535.0), 0, 65535)
         .astype(np.uint16),
         n=np.int32(data["mask"].sum()),
+        label=(data["label"].astype(np.uint16)
+               if "label" in data else None),
     )
 
 
@@ -92,6 +96,7 @@ def unpack_raw(p: "PackedRawCloud") -> RawCloud:
         intensity=p.intensity_q.astype(jnp.float32) * (1.0 / 255.0),
         ts_ratio=p.ts_q.astype(jnp.float32) * (1.0 / 65535.0),
         mask=mask,
+        label=(p.label.astype(jnp.int32) if p.label is not None else None),
     )
 
 

@@ -64,6 +64,13 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
         mask = mask & voxel_ops.voxel_downsample_mask(raw.xyz, mask,
                                                       pre.cloud_down_res)
 
+    # --- Semantic-KITTI assistance: moving-object / outlier pre-filter
+    # (`filter_with_dynamic_object_mask_pre`, `cfilter.hpp:2487-2504`:
+    # labels >= 250 are moving classes, 1 is 'outlier')
+    semantic = fcfg.semantic_assist_on and raw.label is not None
+    if semantic:
+        mask = mask & (raw.label < 250) & (raw.label != 1)
+
     # --- ground / unground split (`cfilter.hpp:1658-2036`)
     g = ground_ops.fast_ground_filter(
         raw.xyz, raw.intensity, mask, gcfg, shapes, keys[0],
@@ -99,6 +106,24 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
     is_beam = linear & (pz < sin_beam) & (z < fcfg.beam_max_height)
     is_roof = planar & (nz > sin_roof) & (z > fcfg.roof_height_min)
     is_facade = planar & (nz < sin_facade)
+
+    # --- semantic mask refinement (`filter_with_semantic_mask`,
+    # `cfilter.hpp:2508-2608`): inside the labeled radius a feature point
+    # must also carry a whitelisted class label; beyond it (Semantic-KITTI
+    # stops labeling ~50 m out) geometry alone decides
+    if semantic:
+        ug_label = raw.label[ug_idx]
+        beyond = (jnp.sum(ug_xyz[:, :2] ** 2, -1)
+                  > fcfg.semantic_labeled_radius ** 2)
+
+        def lab_in(*ids):
+            ok = jnp.zeros_like(beyond)
+            for i in ids:
+                ok = ok | (ug_label == i)
+            return ok | beyond
+
+        is_pillar = is_pillar & lab_in(71, 80, 81)
+        is_facade = is_facade & lab_in(50, 13, 51, 10)
     class_id = (1 * is_pillar + 2 * is_beam + 3 * is_facade + 4 * is_roof
                 ).astype(jnp.int32)
 
@@ -171,7 +196,16 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
 
     # ground full cloud (already rate-downsampled inside the filter when
     # fixed-num is off; here we carry the full band and budget-compact)
-    gr_idx, gr_valid = compact_topk_random(g.is_ground, shapes.n_ground_full,
+    is_ground = g.is_ground
+    if semantic:
+        gl = raw.label
+        g_beyond = (jnp.sum(raw.xyz[:, :2] ** 2, -1)
+                    > fcfg.semantic_labeled_radius ** 2)
+        g_ok = g_beyond
+        for i in (40, 44, 48, 49, 60, 72):
+            g_ok = g_ok | (gl == i)
+        is_ground = is_ground & g_ok
+    gr_idx, gr_valid = compact_topk_random(is_ground, shapes.n_ground_full,
                                            keys[6])
     full["ground"] = FeatureCloud(
         xyz=raw.xyz[gr_idx], normal=g.normal[gr_idx],

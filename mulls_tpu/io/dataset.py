@@ -79,6 +79,7 @@ def pad_cloud(data: dict, n_raw: int, rng: Optional[np.random.Generator] = None
     xyz = data["xyz"]
     n = len(xyz)
     intensity = data.get("intensity", np.zeros(n, np.float32))
+    label = data.get("label")
     ts = data.get("ts_ratio")
     if ts is None:
         # azimuth fallback prep is done on device; store ordinal ratio here
@@ -88,6 +89,8 @@ def pad_cloud(data: dict, n_raw: int, rng: Optional[np.random.Generator] = None
         keep = rng.choice(n, n_raw, replace=False)
         keep.sort()
         xyz, intensity, ts = xyz[keep], intensity[keep], ts[keep]
+        if label is not None:
+            label = label[keep]
         n = n_raw
     out_xyz = np.zeros((n_raw, 3), np.float32)
     out_int = np.zeros((n_raw,), np.float32)
@@ -97,8 +100,13 @@ def pad_cloud(data: dict, n_raw: int, rng: Optional[np.random.Generator] = None
     out_int[:n] = np.asarray(intensity, np.float32).reshape(-1)[:n]
     out_ts[:n] = ts
     mask[:n] = True
-    return {"xyz": out_xyz, "intensity": out_int, "ts_ratio": out_ts,
-            "mask": mask}
+    out = {"xyz": out_xyz, "intensity": out_int, "ts_ratio": out_ts,
+           "mask": mask}
+    if label is not None:
+        out_lab = np.zeros((n_raw,), np.int32)
+        out_lab[:n] = np.asarray(label).reshape(-1)[:n]
+        out["label"] = out_lab
+    return out
 
 
 class FolderDataset:
@@ -148,6 +156,18 @@ class FolderDataset:
         for i in range(len(self)):
             yield self[i]
 
+    def packed_segments(self, segment: int):
+        """Native fast path: segments of frames decoded AND quantized to
+        the device wire format by the C++ worker pool, or None."""
+        if not self._native:
+            return None
+        from mulls_tpu.io import native as nio
+        try:
+            return nio.PackedSegmentPrefetcher(self.files, self.n_raw,
+                                               segment)
+        except (RuntimeError, AttributeError):
+            return None
+
 
 class SemanticKittiDataset(FolderDataset):
     """KITTI velodyne folder + Semantic-KITTI labels folder
@@ -164,10 +184,13 @@ class SemanticKittiDataset(FolderDataset):
 
     def __getitem__(self, i: int) -> dict:
         data = read_point_cloud(self.files[i])
-        labels = read_kitti_labels(self.label_files[i])
-        data["label"] = labels
-        out = pad_cloud(data, self.n_raw)
-        lab = np.zeros((self.n_raw,), np.int32)
-        lab[:min(len(labels), self.n_raw)] = labels[:self.n_raw]
-        out["label"] = lab
-        return out
+        data["label"] = read_kitti_labels(self.label_files[i])
+        return pad_cloud(data, self.n_raw)
+
+    def __iter__(self) -> Iterator[dict]:
+        # labels must ride along: bypass the native (label-less) prefetcher
+        for i in range(len(self)):
+            yield self[i]
+
+    def packed_segments(self, segment: int):
+        return None  # labels must ride along; use the Python pack path

@@ -152,3 +152,69 @@ class NativePrefetcher:
             self._consumed += 1
             yield {"xyz": xyz, "intensity": intensity, "ts_ratio": ts,
                    "mask": mask.astype(bool)}
+
+
+class PackedSegmentPrefetcher:
+    """Iterates whole SEGMENTS of frames already quantized to the wire
+    format by the C++ workers ([segment, n_raw] batches, tail repeated).
+    Yields (frames_in_batch, dict of packed numpy arrays)."""
+
+    def __init__(self, files: List[str], n_raw: int, segment: int,
+                 workers: int = 4, depth: int = 3):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        import ctypes as ct
+        if not hasattr(lib, "_packed_ready"):
+            i16p = ct.POINTER(ct.c_int16)
+            u8p = ct.POINTER(ct.c_uint8)
+            u16p = ct.POINTER(ct.c_uint16)
+            i32p = ct.POINTER(ct.c_int32)
+            lib.mio_packed_prefetch_create.argtypes = [
+                ct.POINTER(ct.c_char_p), ct.c_int, ct.c_int, ct.c_int,
+                ct.c_int, ct.c_int]
+            lib.mio_packed_prefetch_create.restype = ct.c_void_p
+            lib.mio_packed_prefetch_next.argtypes = [
+                ct.c_void_p, i16p, u8p, u16p, i32p]
+            lib.mio_packed_prefetch_next.restype = ct.c_int
+            lib.mio_packed_prefetch_destroy.argtypes = [ct.c_void_p]
+            lib.mio_packed_prefetch_destroy.restype = None
+            lib._packed_ready = True
+        self._lib = lib
+        self._files = list(files)
+        self._n_raw = n_raw
+        self._segment = segment
+        arr = (ctypes.c_char_p * len(files))(*[f.encode() for f in files])
+        self._handle = lib.mio_packed_prefetch_create(
+            arr, len(files), n_raw, segment, workers, depth)
+        self._batches = -(-len(files) // segment) if files else 0
+
+    def close(self):
+        if self._handle:
+            self._lib.mio_packed_prefetch_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        import ctypes as ct
+        n_raw, seg = self._n_raw, self._segment
+        for _ in range(self._batches):
+            xyz = np.empty((seg, n_raw, 3), np.int16)
+            inten = np.empty((seg, n_raw), np.uint8)
+            ts = np.empty((seg, n_raw), np.uint16)
+            counts = np.empty((seg,), np.int32)
+            k = self._lib.mio_packed_prefetch_next(
+                self._handle,
+                xyz.ctypes.data_as(ct.POINTER(ct.c_int16)),
+                inten.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                ts.ctypes.data_as(ct.POINTER(ct.c_uint16)),
+                counts.ctypes.data_as(ct.POINTER(ct.c_int32)))
+            if k < 0:
+                return
+            yield k, {"xyz_q": xyz, "intensity_q": inten, "ts_q": ts,
+                      "n": counts}

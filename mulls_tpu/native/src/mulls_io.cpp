@@ -450,3 +450,167 @@ void mio_prefetch_destroy(void *handle) {
 }
 
 }  // extern "C"
+
+// ---- packed wire-format emission (quantize while padding) -------------
+// Mirrors mulls_tpu.core.cloud.pack_raw_host: int16 xyz at 4 mm, uint8
+// intensity, uint16 timestamp ratio, prefix-count validity.
+
+namespace {
+constexpr float kXyzScale = 250.0f;
+
+int pad_into_packed(const Cloud &c, int n_raw, uint64_t seed, int16_t *xyz_q,
+                    uint8_t *inten_q, uint16_t *ts_q) {
+  long n = static_cast<long>(c.intensity.size());
+  std::vector<int32_t> keep;
+  if (n > n_raw) {
+    keep.resize(n);
+    for (long i = 0; i < n; ++i) keep[i] = static_cast<int32_t>(i);
+    std::mt19937_64 rng(seed);
+    for (int i = 0; i < n_raw; ++i) {
+      std::uniform_int_distribution<long> d(i, n - 1);
+      std::swap(keep[i], keep[d(rng)]);
+    }
+    keep.resize(n_raw);
+    std::sort(keep.begin(), keep.end());
+  }
+  long m = std::min<long>(n, n_raw);
+  float denom = static_cast<float>(std::max<long>(n - 1, 1));
+  auto q16 = [](float v) {
+    float s = std::nearbyint(v * kXyzScale);
+    return static_cast<int16_t>(std::max(-32767.0f, std::min(32767.0f, s)));
+  };
+  for (long i = 0; i < m; ++i) {
+    long s = keep.empty() ? i : keep[i];
+    xyz_q[i * 3 + 0] = q16(c.xyz[s * 3 + 0]);
+    xyz_q[i * 3 + 1] = q16(c.xyz[s * 3 + 1]);
+    xyz_q[i * 3 + 2] = q16(c.xyz[s * 3 + 2]);
+    float in255 = std::nearbyint(c.intensity[s] * 255.0f);
+    inten_q[i] = static_cast<uint8_t>(std::max(0.0f, std::min(255.0f, in255)));
+    float ts = std::nearbyint(static_cast<float>(s) / denom * 65535.0f);
+    ts_q[i] = static_cast<uint16_t>(std::max(0.0f, std::min(65535.0f, ts)));
+  }
+  std::memset(xyz_q + m * 3, 0, (n_raw - m) * 3 * sizeof(int16_t));
+  std::memset(inten_q + m, 0, n_raw - m);
+  std::memset(ts_q + m, 0, (n_raw - m) * sizeof(uint16_t));
+  return static_cast<int>(m);
+}
+
+struct PackedPrefetcher {
+  std::vector<std::string> paths;
+  int n_raw = 0, segment = 0, depth = 0;
+  long n_batches = 0;
+  struct Batch {
+    std::vector<int16_t> xyz;
+    std::vector<uint8_t> inten;
+    std::vector<uint16_t> ts;
+    std::vector<int32_t> counts;
+    int frames = 0;
+    bool ready = false;
+  };
+  std::vector<Batch> ring;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_free;
+  std::atomic<long> next_job{0};
+  long next_read = 0, freed_below = 0;
+  bool stop = false;
+
+  void worker() {
+    Cloud c;
+    for (;;) {
+      long job = next_job.fetch_add(1);
+      if (job >= n_batches) return;
+      long lo = job * segment;
+      long hi = std::min<long>(lo + segment, paths.size());
+      Batch tmp;
+      size_t per = static_cast<size_t>(n_raw);
+      tmp.xyz.resize(static_cast<size_t>(segment) * per * 3);
+      tmp.inten.resize(static_cast<size_t>(segment) * per);
+      tmp.ts.resize(static_cast<size_t>(segment) * per);
+      tmp.counts.assign(segment, 0);
+      tmp.frames = static_cast<int>(hi - lo);
+      for (long f = lo; f < hi; ++f) {
+        int n = read_any(paths[f], c);
+        long k = f - lo;
+        tmp.counts[k] = n < 0 ? 0
+            : pad_into_packed(c, n_raw, 0x9e3779b97f4a7c15ULL ^ f,
+                              tmp.xyz.data() + k * per * 3,
+                              tmp.inten.data() + k * per,
+                              tmp.ts.data() + k * per);
+      }
+      // tail padding: repeat the last decoded frame so shapes stay static
+      for (long k = tmp.frames; k < segment; ++k) {
+        long src = tmp.frames - 1;
+        std::memcpy(tmp.xyz.data() + k * per * 3,
+                    tmp.xyz.data() + src * per * 3,
+                    per * 3 * sizeof(int16_t));
+        std::memcpy(tmp.inten.data() + k * per, tmp.inten.data() + src * per,
+                    per);
+        std::memcpy(tmp.ts.data() + k * per, tmp.ts.data() + src * per,
+                    per * sizeof(uint16_t));
+        tmp.counts[k] = tmp.counts[src];
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_free.wait(lk, [&] { return stop || job < freed_below + depth; });
+      if (stop) return;
+      Batch &b = ring[job % depth];
+      b = std::move(tmp);
+      b.ready = true;
+      cv_ready.notify_all();
+    }
+  }
+
+  int next(int16_t *xyz, uint8_t *inten, uint16_t *ts, int32_t *counts) {
+    std::unique_lock<std::mutex> lk(mu);
+    if (next_read >= n_batches) return -100;
+    Batch &b = ring[next_read % depth];
+    cv_ready.wait(lk, [&] { return b.ready; });
+    std::memcpy(xyz, b.xyz.data(), b.xyz.size() * sizeof(int16_t));
+    std::memcpy(inten, b.inten.data(), b.inten.size());
+    std::memcpy(ts, b.ts.data(), b.ts.size() * sizeof(uint16_t));
+    std::memcpy(counts, b.counts.data(), b.counts.size() * sizeof(int32_t));
+    int frames = b.frames;
+    b.ready = false;
+    ++next_read;
+    freed_below = next_read;
+    cv_free.notify_all();
+    return frames;
+  }
+};
+}  // namespace
+
+extern "C" {
+
+void *mio_packed_prefetch_create(const char **paths, int n_files, int n_raw,
+                                 int segment, int workers, int depth) {
+  auto *p = new PackedPrefetcher();
+  p->paths.assign(paths, paths + n_files);
+  p->n_raw = n_raw;
+  p->segment = std::max(segment, 1);
+  p->depth = std::max(depth, 2);
+  p->n_batches = (n_files + p->segment - 1) / p->segment;
+  p->ring.resize(p->depth);
+  int nw = std::max(1, std::min(workers, 16));
+  for (int i = 0; i < nw; ++i)
+    p->workers.emplace_back([p] { p->worker(); });
+  return p;
+}
+
+int mio_packed_prefetch_next(void *handle, int16_t *xyz, uint8_t *inten,
+                             uint16_t *ts, int32_t *counts) {
+  return static_cast<PackedPrefetcher *>(handle)->next(xyz, inten, ts,
+                                                       counts);
+}
+
+void mio_packed_prefetch_destroy(void *handle) {
+  auto *p = static_cast<PackedPrefetcher *>(handle);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+  }
+  p->cv_free.notify_all();
+  for (auto &t : p->workers) t.join();
+  delete p;
+}
+
+}  // extern "C"

@@ -196,8 +196,25 @@ def prefetch_segments(dataset, segment: int, depth: int = 2):
     q: "_queue.Queue" = _queue.Queue(maxsize=depth)
     stop = _threading.Event()
 
+    # native fast path: the C++ worker pool decodes AND quantizes whole
+    # segments ([segment, n_raw] batches, tail repeated) — the Python
+    # thread only uploads
+    native_pf = (dataset.packed_segments(segment)
+                 if hasattr(dataset, "packed_segments") else None)
+
     def worker():
         try:
+            if native_pf is not None:
+                with native_pf:
+                    for k, batch in native_pf:
+                        if stop.is_set():
+                            return
+                        q.put((k, jax.device_put(PackedRawCloud(
+                            xyz_q=batch["xyz_q"],
+                            intensity_q=batch["intensity_q"],
+                            ts_q=batch["ts_q"], n=batch["n"]))))
+                q.put(None)
+                return
             buf: List[PackedRawCloud] = []
             it = iter(dataset) if hasattr(dataset, "__iter__") \
                 else (dataset[i] for i in range(len(dataset)))

@@ -100,3 +100,27 @@ def test_packed_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(raw.ts_ratio), data["ts_ratio"],
                                atol=1.0 / 65535 + 1e-6)
     np.testing.assert_array_equal(np.asarray(raw.mask), data["mask"])
+
+
+@needs_native
+@needs_demo
+def test_packed_segment_prefetcher_parity():
+    files = sorted(os.path.join(DEMO, f) for f in os.listdir(DEMO)
+                   if f.endswith(".pcd"))[:5]
+    from mulls_tpu.io.native import PackedSegmentPrefetcher
+    batches = []
+    with PackedSegmentPrefetcher(files, 131072, segment=2) as pf:
+        for k, b in pf:
+            batches.append((k, b))
+    assert [k for k, _ in batches] == [2, 2, 1]
+    # parity with the python pack of the native single reads
+    ref = pack_raw_host(nio.read_cloud_native(files[0], 131072))
+    k0, b0 = batches[0]
+    np.testing.assert_array_equal(b0["xyz_q"][0], ref.xyz_q)
+    np.testing.assert_array_equal(b0["intensity_q"][0], ref.intensity_q)
+    np.testing.assert_array_equal(b0["ts_q"][0], ref.ts_q)
+    assert int(b0["n"][0]) == int(ref.n)
+    # tail batch repeats the last frame
+    k2, b2 = batches[2]
+    assert k2 == 1
+    np.testing.assert_array_equal(b2["xyz_q"][0], b2["xyz_q"][1])
