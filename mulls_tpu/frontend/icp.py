@@ -183,6 +183,22 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
                             if n in s_counts)
     src_feature_count = jnp.maximum(src_feature_count, 1)
 
+    # intersection (bbx) filter (`cregistration.hpp:1186-1188, 2894`):
+    # source points far outside the target's bounding box can never match
+    if cfg.apply_intersection_filter:
+        from mulls_tpu.core.cloud import masked_max, masked_min
+        tmin = jnp.full((3,), jnp.inf)
+        tmax = jnp.full((3,), -jnp.inf)
+        for n in used:
+            tmin = jnp.minimum(tmin, masked_min(
+                target[n].xyz, target[n].mask[:, None], axis=0))
+            tmax = jnp.maximum(tmax, masked_max(
+                target[n].xyz, target[n].mask[:, None], axis=0))
+        bbx_pad = 2.0 * cfg.corr_dis_thre_init
+        tmin, tmax = tmin - bbx_pad, tmax + bbx_pad
+    else:
+        tmin = tmax = None
+
     init_thre = jnp.full((len(used),), cfg.corr_dis_thre_init, jnp.float32)
 
     def body(state):
@@ -194,8 +210,12 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
             sc = source[name]
             s_xyz = se3.transform_points(T, sc.xyz)
             s_dir = se3.rotate_vectors(T, sc.normal)
+            s_mask = sc.mask
+            if tmin is not None:
+                s_mask = s_mask & jnp.all((s_xyz >= tmin)
+                                          & (s_xyz <= tmax), axis=-1)
             corrs[name] = _find_corres(
-                s_xyz, s_dir, sc.mask, target[name], thre[ci], cos_bearing,
+                s_xyz, s_dir, s_mask, target[name], thre[ci], cos_bearing,
                 normal_check=(name != "vertex"))
             s_pts[name] = s_xyz
 

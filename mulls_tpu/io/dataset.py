@@ -37,6 +37,8 @@ def read_point_cloud(path: str) -> dict:
         return out
     if ext == ".ply":
         return _read_ply(path)
+    if ext == ".las":
+        return _read_las(path)
     raise ValueError(f"unsupported point cloud format: {ext}")
 
 
@@ -194,3 +196,31 @@ class SemanticKittiDataset(FolderDataset):
 
     def packed_segments(self, segment: int):
         return None  # labels must ride along; use the Python pack path
+
+
+def _read_las(path: str) -> dict:
+    """Minimal LAS 1.2-1.4 reader (scaled int32 xyz + u16 intensity),
+    Python fallback for the native `read_las`."""
+    with open(path, "rb") as f:
+        hdr = f.read(375)
+        if hdr[:4] != b"LASF":
+            raise ValueError(f"not a LAS file: {path}")
+        import struct as _s
+        data_off = _s.unpack_from("<I", hdr, 96)[0]
+        rec_len = _s.unpack_from("<H", hdr, 105)[0]
+        n = _s.unpack_from("<I", hdr, 107)[0]
+        if n == 0 and hdr[25] >= 4 and len(hdr) >= 255:
+            n = _s.unpack_from("<Q", hdr, 247)[0]
+        sx, sy, sz = _s.unpack_from("<3d", hdr, 131)
+        ox, oy, oz = _s.unpack_from("<3d", hdr, 155)
+        f.seek(data_off)
+        buf = f.read(n * rec_len)
+    rec = np.frombuffer(buf, dtype=np.uint8).reshape(-1, rec_len)
+    xi = rec[:, 0:4].copy().view("<i4")[:, 0]
+    yi = rec[:, 4:8].copy().view("<i4")[:, 0]
+    zi = rec[:, 8:12].copy().view("<i4")[:, 0]
+    xyz = np.stack([xi * sx + ox, yi * sy + oy, zi * sz + oz],
+                   -1).astype(np.float32)
+    inten = (rec[:, 12:14].copy().view("<u2")[:, 0].astype(np.float32)
+             if rec_len >= 14 else np.zeros(len(rec), np.float32))
+    return {"xyz": xyz, "intensity": inten}

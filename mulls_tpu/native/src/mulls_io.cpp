@@ -293,10 +293,63 @@ int read_ply(const std::string &path, Cloud &out) {
   return static_cast<int>(n);
 }
 
+
+// ---- LAS 1.2-1.4, point formats 0-10 (x,y,z scaled int32 + intensity) ----
+// Plays the reference's libLAS role (`dataio.hpp:393-768`) without the
+// dependency: only the fields the pipeline uses are decoded.
+int read_las(const std::string &path, Cloud &out) {
+  FILE *f = std::fopen(path.c_str(), "rb");
+  if (!f) return -1;
+  unsigned char hdr[375];
+  size_t got = std::fread(hdr, 1, sizeof(hdr), f);
+  if (got < 227 || std::memcmp(hdr, "LASF", 4) != 0) {
+    std::fclose(f);
+    return -3;
+  }
+  auto u16 = [&](int off) { uint16_t v; std::memcpy(&v, hdr + off, 2); return v; };
+  auto u32 = [&](int off) { uint32_t v; std::memcpy(&v, hdr + off, 4); return v; };
+  auto u64at = [&](int off) { uint64_t v; std::memcpy(&v, hdr + off, 8); return v; };
+  auto f64 = [&](int off) { double v; std::memcpy(&v, hdr + off, 8); return v; };
+  uint32_t data_off = u32(96);
+  uint16_t rec_len = u16(105);
+  uint64_t n = u32(107);
+  int vmin = hdr[25];
+  if (n == 0 && vmin >= 4 && got >= 255)
+    n = u64at(247);  // LAS 1.4 extended count
+  double sx = f64(131), sy = f64(139), sz = f64(147);
+  double ox = f64(155), oy = f64(163), oz = f64(171);
+  if (rec_len < 12 || n == 0) { std::fclose(f); return -3; }
+  std::fseek(f, data_off, SEEK_SET);
+  out.xyz.resize(n * 3);
+  out.intensity.assign(n, 0.0f);
+  std::vector<char> rec(rec_len);
+  uint64_t i = 0;
+  for (; i < n; ++i) {
+    if (std::fread(rec.data(), 1, rec_len, f) != rec_len) break;
+    int32_t xi, yi, zi;
+    std::memcpy(&xi, rec.data(), 4);
+    std::memcpy(&yi, rec.data() + 4, 4);
+    std::memcpy(&zi, rec.data() + 8, 4);
+    out.xyz[i * 3 + 0] = static_cast<float>(xi * sx + ox);
+    out.xyz[i * 3 + 1] = static_cast<float>(yi * sy + oy);
+    out.xyz[i * 3 + 2] = static_cast<float>(zi * sz + oz);
+    if (rec_len >= 14) {
+      uint16_t inten;
+      std::memcpy(&inten, rec.data() + 12, 2);
+      out.intensity[i] = static_cast<float>(inten);
+    }
+  }
+  std::fclose(f);
+  out.xyz.resize(i * 3);
+  out.intensity.resize(i);
+  return static_cast<int>(i);
+}
+
 int read_any(const std::string &path, Cloud &out) {
   if (ends_with(path, ".bin")) return read_bin(path, out);
   if (ends_with(path, ".pcd")) return read_pcd(path, out);
   if (ends_with(path, ".ply")) return read_ply(path, out);
+  if (ends_with(path, ".las")) return read_las(path, out);
   if (ends_with(path, ".csv")) return read_txt(path, out, ',');
   if (ends_with(path, ".txt") || ends_with(path, ".xyz"))
     return read_txt(path, out, ' ');

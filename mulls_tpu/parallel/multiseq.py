@@ -1,0 +1,116 @@
+"""Multi-sequence data-parallel odometry.
+
+The serial frame-to-frame dependency caps single-trajectory parallelism
+(SURVEY.md §7.4#6), so multi-chip throughput comes from processing MANY
+trajectories at once: one SLAM state per sequence, sequences sharded over
+the device mesh (`data` axis), each chip scanning its local sequences'
+segments in lockstep.  This is the offline / fleet-processing mode — e.g.
+all 11 KITTI odometry sequences in one run — and the analog of batch data
+parallelism in the driver-template taxonomy (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mulls_tpu.config import MullsConfig
+from mulls_tpu.core.cloud import PackedRawCloud, pack_raw_host
+from mulls_tpu.pipeline.odometry import (OdometryResult, StepOut, init_state,
+                                         _slam_step_impl)
+
+
+def make_multiseq_scan(mesh: Mesh, cfg: MullsConfig, axis: str = "data"):
+    """Jitted (states [S,...], raws [S,K,...]) -> (states, vecs [S,K,16])
+    with sequences sharded over the mesh."""
+
+    def seq_scan(state, raws):
+        def body(st, raw):
+            st, out = _slam_step_impl(st, raw, cfg)
+            return st, out.vec
+        return jax.lax.scan(body, state, raws)
+
+    def stepper(states, raws):
+        return jax.vmap(seq_scan)(states, raws)
+
+    sharded = jax.shard_map(stepper, mesh=mesh,
+                            in_specs=(P(axis), P(axis)),
+                            out_specs=(P(axis), P(axis)),
+                            check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def stack_states(states: List):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+class MultiSeqPipeline:
+    """Runs S sequences in lockstep segments, sequences sharded over the
+    mesh.  S must be a multiple of the mesh size; shorter sequences idle by
+    replaying their last frame (results truncated to true length)."""
+
+    def __init__(self, cfg: MullsConfig, mesh: Mesh, segment: int = 16):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.segment = segment
+        self._scan = make_multiseq_scan(mesh, cfg)
+
+    def run(self, datasets: List, progress: bool = False
+            ) -> List[OdometryResult]:
+        cfg = self.cfg
+        S = len(datasets)
+        n_dev = self.mesh.devices.size
+        if S % n_dev != 0:
+            raise ValueError(f"{S} sequences on {n_dev} devices: the "
+                             f"sequence count must be a multiple of the "
+                             f"mesh size")
+        lens = [len(d) for d in datasets]
+        n_max = max(lens)
+        states = stack_states([init_state(cfg.replace(seed=cfg.seed + s))
+                               for s in range(S)])
+        sharding = NamedSharding(self.mesh, P("data"))
+        states = jax.device_put(states, jax.tree.map(lambda _: sharding,
+                                                     states))
+
+        vec_parts = []
+        i = 0
+        last = [None] * S
+        while i < n_max:
+            k = min(self.segment, n_max - i)
+            batches = []
+            for s, ds in enumerate(datasets):
+                frames = []
+                for j in range(i, i + k):
+                    if j < lens[s]:
+                        last[s] = pack_raw_host(ds[j])
+                    frames.append(last[s])
+                frames += [frames[-1]] * (self.segment - k)
+                batches.append(jax.tree.map(lambda *xs: np.stack(xs),
+                                            *frames))
+            raws = jax.device_put(
+                jax.tree.map(lambda *xs: np.stack(xs), *batches), sharding)
+            states, vecs = self._scan(states, raws)
+            vec_parts.append(vecs[:, :k])
+            i += k
+            if progress:
+                print(f"[multiseq {i}/{n_max}] x{S} sequences", flush=True)
+
+        jax.block_until_ready(states.pose)
+        vecs = np.asarray(jnp.concatenate(vec_parts, axis=1))  # [S, N, 16]
+        results = []
+        for s in range(S):
+            T_rels, sig, cod, _, _ = StepOut.unpack_vecs(vecs[s, :lens[s]])
+            poses = np.tile(np.eye(4), (lens[s], 1, 1))
+            for t in range(1, lens[s]):
+                p = poses[t - 1] @ T_rels[t]
+                u, _, vt = np.linalg.svd(p[:3, :3])
+                p[:3, :3] = u @ vt
+                poses[t] = p
+            results.append(OdometryResult(
+                poses=poses, codes=[int(c) for c in cod],
+                sigmas=[float(x) for x in sig]))
+        return results

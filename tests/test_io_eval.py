@@ -133,3 +133,61 @@ def test_ate_rmse():
     res = gt.copy()
     res[:, 1, 3] += 2.0
     assert km.ate_rmse(gt, res) == pytest.approx(2.0)
+
+
+def _write_test_las(path, xyz, inten, scale=0.001):
+    import struct
+    n = len(xyz)
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1
+    hdr[25] = 2  # version 1.2
+    struct.pack_into("<H", hdr, 94, 227)    # header size
+    struct.pack_into("<I", hdr, 96, 227)    # offset to data
+    hdr[104] = 0                            # point format 0
+    struct.pack_into("<H", hdr, 105, 20)    # record length
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<3d", hdr, 131, scale, scale, scale)
+    struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
+    with open(path, "wb") as f:
+        f.write(hdr)
+        for p, i in zip(xyz, inten):
+            rec = bytearray(20)
+            struct.pack_into("<3i", rec, 0, *(np.round(p / scale)
+                                              .astype(np.int64)))
+            struct.pack_into("<H", rec, 12, int(i))
+            f.write(rec)
+
+
+def test_las_readers(tmp_path, rng):
+    xyz = rng.uniform(-50, 50, (300, 3)).astype(np.float64)
+    inten = rng.integers(0, 65535, 300)
+    path = str(tmp_path / "t.las")
+    _write_test_las(path, xyz, inten)
+
+    from mulls_tpu.io.dataset import read_point_cloud
+    d = read_point_cloud(path)
+    np.testing.assert_allclose(d["xyz"], xyz, atol=2e-3)
+    np.testing.assert_array_equal(d["intensity"], inten)
+
+    from mulls_tpu.io import native as nio
+    if nio.native_available():
+        out = nio.read_cloud_native(path, 512)
+        assert out is not None and out["mask"].sum() == 300
+        np.testing.assert_allclose(out["xyz"][:300], xyz, atol=2e-3)
+
+
+def test_pose_quat_roundtrip(tmp_path, rng):
+    from mulls_tpu.io import kitti as kio
+    n = 8
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    ang = rng.uniform(-1, 1, n)
+    poses[:, 0, 0] = np.cos(ang)
+    poses[:, 0, 1] = -np.sin(ang)
+    poses[:, 1, 0] = np.sin(ang)
+    poses[:, 1, 1] = np.cos(ang)
+    poses[:, :3, 3] = rng.uniform(-100, 100, (n, 3))
+    path = str(tmp_path / "pose_quat.txt")
+    kio.write_pose_quat(path, poses)
+    back = kio.read_pose_quat(path)
+    np.testing.assert_allclose(back, poses, atol=1e-5)
