@@ -46,7 +46,7 @@ def main():
     # 16-frame run would be dominated by per-run fixed costs)
     order = list(range(len(frames))) + list(range(len(frames) - 2, 0, -1))
     playlist = [frames[i] for i in
-                (order * (128 // len(order) + 1))[:128]]
+                (order * (256 // len(order) + 1))[:256]]
 
     # warm-up: compile the segment program (no result fetch — on a
     # tunneled chip the first device->host data transfer can wedge the

@@ -227,6 +227,13 @@ class MapConfig:
     # uniform motion model: 0 none, 1 translation only, 2 full SE(3)
     initial_guess_mode: int = 2
     motion_compensation_method: int = 0
+    # scan-to-scan pre-registration refining the motion-model guess before
+    # scan-to-map (`--scan_to_scan_module_on`, `mulls_slam.cpp:631-665`)
+    scan_to_scan_module_on: bool = False
+    # zero-velocity update: lock z when (near) stationary
+    # (`--zupt_on_or_not`, `common_nav.cpp:6-22`)
+    zupt_on: bool = False
+    zupt_tran_thre: float = 0.02
     shapes: MapShapeConfig = field(default_factory=MapShapeConfig)
 
 
@@ -381,6 +388,8 @@ _FLAG_MAP = {
     "initial_guess_mode": ("map", "initial_guess_mode", int),
     "motion_compensation_method": ("map", "motion_compensation_method", int),
     "semantic_assist_on": ("feature", "semantic_assist_on", bool),
+    "scan_to_scan_module_on": ("map", "scan_to_scan_module_on", bool),
+    "zupt_on_or_not": ("map", "zupt_on", bool),
     "baseline_reg_method": ("baseline", "method", str),
     "reg_voxel_size": ("baseline", "voxel_down_size", float),
     "loop_closure_detection_on": ("submap", "loop_closure_detection_on", bool),

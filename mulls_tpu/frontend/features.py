@@ -207,8 +207,22 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
         is_ground = is_ground & g_ok
     gr_idx, gr_valid = compact_topk_random(is_ground, shapes.n_ground_full,
                                            keys[6])
+    gr_xyz = raw.xyz[gr_idx]
+    gr_normal = g.normal[gr_idx]
+    # ground normal methods 1/2 (`cfilter.hpp:1860-1925`): radius- / kNN-
+    # PCA on the compacted ground cloud (method 0 = (0,0,1), method 3 =
+    # per-grid plane, both handled inside the ground filter)
+    if cfg.ground.ground_normal_method in (1, 2):
+        gfeats = pca_ops.pca_features(
+            gr_xyz, gr_valid, gr_xyz, gr_valid,
+            radius=cfg.ground.normal_estimation_radius,
+            min_k=fcfg.cloud_pca_neigh_k_min,
+            distance_adaptive=False, unit_dist=fcfg.unit_dist, chunk=1024)
+        nrm = gfeats.normal * jnp.where(gfeats.normal[:, 2:3] < 0, -1.0, 1.0)
+        gr_normal = jnp.where(gfeats.valid[:, None], nrm,
+                              jnp.zeros_like(nrm).at[:, 2].set(1.0))
     full["ground"] = FeatureCloud(
-        xyz=raw.xyz[gr_idx], normal=g.normal[gr_idx],
+        xyz=gr_xyz, normal=gr_normal,
         intensity=raw.intensity[gr_idx],
         strength=jnp.zeros_like(raw.intensity[gr_idx]),
         height=jnp.zeros_like(raw.intensity[gr_idx]),

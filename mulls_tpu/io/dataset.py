@@ -39,6 +39,8 @@ def read_point_cloud(path: str) -> dict:
         return _read_ply(path)
     if ext == ".las":
         return _read_las(path)
+    if ext == ".h5":
+        return _read_h5(path)
     raise ValueError(f"unsupported point cloud format: {ext}")
 
 
@@ -224,3 +226,22 @@ def _read_las(path: str) -> dict:
     inten = (rec[:, 12:14].copy().view("<u2")[:, 0].astype(np.float32)
              if rec_len >= 14 else np.zeros(len(rec), np.float32))
     return {"xyz": xyz, "intensity": inten}
+
+
+def _read_h5(path: str) -> dict:
+    """HESAI *.h5 scans (`h5_io.hpp`): datasets x/y/z/intensity (+ts),
+    either flat or [rows, cols] range-image layout."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        x = np.asarray(f["x"], np.float32).ravel()
+        y = np.asarray(f["y"], np.float32).ravel()
+        z = np.asarray(f["z"], np.float32).ravel()
+        inten = (np.asarray(f["intensity"], np.float32).ravel()
+                 if "intensity" in f else np.zeros_like(x))
+        out = {"xyz": np.stack([x, y, z], -1), "intensity": inten}
+        if "ts" in f:
+            ts = np.asarray(f["ts"], np.float64).ravel()
+            lo, hi = ts.min(), ts.max()
+            out["ts_ratio"] = ((ts - lo) / max(hi - lo, 1e-9)
+                               ).astype(np.float32)
+    return out

@@ -48,6 +48,10 @@ class SlamState:
     T_prev: jnp.ndarray  # [4,4] previous relative transform (motion model)
     frame_idx: jnp.ndarray  # int32
     key: jax.Array
+    # previous frame's down feature clouds — present only when the
+    # scan-to-scan module is on (static in cfg, so the pytree structure is
+    # consistent per compiled program)
+    prev_frame: object = None
 
 
 @struct.dataclass
@@ -83,12 +87,25 @@ class StepOut:
 
 
 def init_state(cfg: MullsConfig) -> SlamState:
+    prev = None
+    if cfg.map.scan_to_scan_module_on:
+        from mulls_tpu.core.cloud import FeatureCloud
+        f = cfg.feature
+        prev = {
+            "ground": FeatureCloud.empty(f.ground_down_fixed_num),
+            "pillar": FeatureCloud.empty(f.pillar_down_fixed_num),
+            "facade": FeatureCloud.empty(f.facade_down_fixed_num),
+            "beam": FeatureCloud.empty(f.beam_down_fixed_num),
+            "roof": FeatureCloud.empty(f.roof_down_fixed_num),
+            "vertex": FeatureCloud.empty(f.vertex_keep_num),
+        }
     return SlamState(
         local_map=init_local_map(cfg.map),
         pose=jnp.eye(4, dtype=jnp.float32),
         T_prev=jnp.eye(4, dtype=jnp.float32),
         frame_idx=jnp.int32(0),
         key=jax.random.key(cfg.seed),
+        prev_frame=prev,
     )
 
 
@@ -120,12 +137,24 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     else:
         guess = jnp.eye(4, dtype=jnp.float32)
 
+    # optional scan-to-scan pre-registration: refine the motion-model
+    # guess against the previous frame's features before scan-to-map
+    # (`mulls_slam.cpp:631-665`)
+    if cfg.map.scan_to_scan_module_on:
+        s2s = mm_lls_icp(frame.down, state.prev_frame, cfg.reg, guess,
+                         max_iter=cfg.reg.reg_max_iter_num_s2s)
+        guess = jnp.where(s2s.process_code == 1, s2s.transform, guess)
+
     res = mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg, guess,
                      max_iter=cfg.reg.reg_max_iter_num_s2m)
 
     failed = res.process_code < 0
     eye = jnp.eye(4, dtype=jnp.float32)
     T_rel = jnp.where(first, eye, jnp.where(failed, guess, res.transform))
+    if cfg.map.zupt_on:
+        # zero-velocity update (`common_nav.cpp:6-22`)
+        stationary = jnp.linalg.norm(T_rel[:3, 3]) < cfg.map.zupt_tran_thre
+        T_rel = jnp.where(stationary, T_rel.at[2, 3].set(0.0), T_rel)
     T_prev_next = jnp.where(first | failed, eye, T_rel)
 
     pose = state.pose @ T_rel
@@ -140,7 +169,10 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
 
     new_state = SlamState(local_map=local_map, pose=pose,
                           T_prev=T_prev_next,
-                          frame_idx=state.frame_idx + 1, key=key)
+                          frame_idx=state.frame_idx + 1, key=key,
+                          prev_frame=(frame.down
+                                      if cfg.map.scan_to_scan_module_on
+                                      else None))
     code = jnp.where(first, 1, res.process_code)
     out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma, code=code,
                   confidence=res.confidence, iterations=res.iterations,

@@ -162,3 +162,24 @@ def test_baseline_odometry_synthetic(rng, method):
     steps = np.diff(res.poses[:, :3, 3], axis=0)
     np.testing.assert_allclose(steps[1:, 0], 0.6, atol=0.1)
     assert np.all(np.abs(steps[1:, 1:]) < 0.1)
+
+
+def test_scan_to_scan_and_zupt(rng):
+    """scan_to_scan_module_on + zupt wiring: straight trajectory still
+    tracked, stationary frames keep z locked."""
+    import dataclasses
+    cfg = ge._small_cfg()
+    cfg = dataclasses.replace(cfg, map=dataclasses.replace(
+        cfg.map, scan_to_scan_module_on=True, zupt_on=True))
+    world = _loop_world(rng, n=60000, extent=40.0)
+    gt = []
+    for k in range(6):
+        T = np.eye(4)
+        T[0, 3] = 0.5 * k
+        gt.append(T)
+    frames = _ListDataset(
+        _simulate_scan(world, g, cfg.shapes.n_raw, 30.0, rng) for g in gt)
+    res = OdometryPipeline(cfg, segment=3).run(frames)
+    assert all(c == 1 for c in res.codes), res.codes
+    steps = np.diff(res.poses[:, :3, 3], axis=0)
+    np.testing.assert_allclose(steps[1:, 0], 0.5, atol=0.05)
