@@ -144,25 +144,29 @@ int read_pcd(const std::string &path, Cloud &out) {
   }
   out.xyz.resize(n * 3);
   out.intensity.assign(n, 0.0f);
-  auto fsize = [&](int offset) {
+  // precompute field width at each byte offset (the inner loop must not
+  // scan the field list per point)
+  std::vector<int> size_at(stride + 1, 4);
+  {
     int s = 0;
     for (auto &fd : fields)
       for (int c = 0; c < fd.count; ++c) {
-        if (s == offset) return fd.size;
+        if (s <= stride) size_at[s] = fd.size;
         s += fd.size;
       }
-    return 4;
-  };
+  }
   if (mode == "binary") {
-    std::vector<char> row(stride);
-    auto get = [&](const char *p, int offset) -> float {
-      if (fsize(offset) == 8) {
+    bool x8 = size_at[off_x] == 8, y8 = size_at[off_y] == 8,
+         z8 = size_at[off_z] == 8,
+         i8 = off_i >= 0 && size_at[off_i] == 8;
+    auto getf = [](const char *p, bool wide) -> float {
+      if (wide) {
         double d;
-        std::memcpy(&d, p + offset, 8);
+        std::memcpy(&d, p, 8);
         return static_cast<float>(d);
       }
       float v;
-      std::memcpy(&v, p + offset, 4);
+      std::memcpy(&v, p, 4);
       return v;
     };
     std::vector<char> all(static_cast<size_t>(n) * stride);
@@ -171,10 +175,10 @@ int read_pcd(const std::string &path, Cloud &out) {
     if (nn < n) n = nn;
     for (long i = 0; i < n; ++i) {
       const char *p = all.data() + static_cast<size_t>(i) * stride;
-      out.xyz[i * 3 + 0] = get(p, off_x);
-      out.xyz[i * 3 + 1] = get(p, off_y);
-      out.xyz[i * 3 + 2] = get(p, off_z);
-      if (off_i >= 0) out.intensity[i] = get(p, off_i);
+      out.xyz[i * 3 + 0] = getf(p + off_x, x8);
+      out.xyz[i * 3 + 1] = getf(p + off_y, y8);
+      out.xyz[i * 3 + 2] = getf(p + off_z, z8);
+      if (off_i >= 0) out.intensity[i] = getf(p + off_i, i8);
     }
   } else {  // ascii
     for (long i = 0; i < n; ++i) {
