@@ -58,7 +58,43 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_map_bev", default=None,
                    help="write a birds-eye height image of the map")
     p.add_argument("--map_voxel_size", type=float, default=0.25)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax profiler trace of the run")
+    p.add_argument("--export_feature_frame", type=int, default=None,
+                   help="dump this frame's per-class feature clouds as pcd "
+                        "(headless MapViewer replacement)")
+    p.add_argument("--export_feature_dir", default="feature_out")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="checkpoint file for save/resume (SLAM mode)")
     return p
+
+
+def _export_features(ds, cfg, frame_idx: int, out_dir: str) -> None:
+    """Per-class feature-cloud pcd export — the headless stand-in for the
+    reference's feature-map viewer window (`map_viewer.h:101-224`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mulls_tpu.core.cloud import RawCloud
+    from mulls_tpu.frontend.features import extract_features
+    from mulls_tpu.io.pcd import write_pcd
+
+    f = ds[frame_idx]
+    raw = RawCloud(xyz=jnp.asarray(f["xyz"]),
+                   intensity=jnp.asarray(f["intensity"]),
+                   ts_ratio=jnp.asarray(f["ts_ratio"]),
+                   mask=jnp.asarray(f["mask"]),
+                   label=(jnp.asarray(f["label"]) if "label" in f else None))
+    frame = jax.jit(extract_features, static_argnames=("cfg",))(
+        raw, cfg, jax.random.key(0))
+    os.makedirs(out_dir, exist_ok=True)
+    for name, cloud in frame.full.items():
+        m = np.asarray(cloud.mask)
+        write_pcd(os.path.join(out_dir, f"{frame_idx:06d}_{name}.pcd"),
+                  np.asarray(cloud.xyz)[m],
+                  intensity=np.asarray(cloud.intensity)[m],
+                  normals=np.asarray(cloud.normal)[m])
+        print(f"[mulls_tpu] {name}: {int(m.sum())} pts")
 
 
 def main(argv=None) -> int:
@@ -93,12 +129,22 @@ def main(argv=None) -> int:
     # with the back-end on, run the full SLAM pipeline (submaps + loop
     # closure + PGO, `mulls_slam.cpp:451-628`); otherwise the leaner
     # pure-odometry streaming loop
+    if args.export_feature_frame is not None:
+        _export_features(ds, cfg, args.export_feature_frame,
+                         args.export_feature_dir)
+
+    prof = None
+    if args.profile_dir:
+        import jax
+        prof = jax.profiler.trace(args.profile_dir)
+        prof.__enter__()
+
     if cfg.baseline.method:
         from mulls_tpu.pipeline.baseline import BaselinePipeline
         pipe = BaselinePipeline(cfg)
         res = pipe.run(ds, progress=args.progress)
     elif cfg.submap.loop_closure_detection_on:
-        pipe = SlamPipeline(cfg)
+        pipe = SlamPipeline(cfg, checkpoint_path=args.checkpoint_path)
         res = pipe.run(ds, progress=args.progress)
         backend = getattr(res, "backend", None)
         if backend is not None:
@@ -111,6 +157,10 @@ def main(argv=None) -> int:
         pipe = OdometryPipeline(cfg)
         res = pipe.run(ds, progress=args.progress,
                        profile=args.timing_report_file is not None)
+
+    if prof is not None:
+        prof.__exit__(None, None, None)
+        print(f"[mulls_tpu] profiler trace written to {args.profile_dir}")
 
     poses_lidar = res.poses
     if args.output_lo_lidar_pose_file_path:

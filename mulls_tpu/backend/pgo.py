@@ -189,3 +189,73 @@ def wrong_edge_check(graph: PoseGraph, node_t, node_q,
     bad = graph.edge_mask & ((dt > tran_thre)
                              | (ang > jnp.radians(rot_thre_deg)))
     return bad
+
+
+def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
+                                lm_lambda: float = 1e-4,
+                                axis: str = "data"):
+    """Multi-chip PGO: EDGES are sharded over the mesh, each device builds
+    the Hessian/gradient contributions of its local edges, and the reduced
+    6Mx6M system is `psum`-ed and solved replicated (SURVEY.md §5.8 —
+    collectives ride ICI; the dense solve stays on the MXU).
+
+    Edge count must be padded to a multiple of the mesh size (use
+    ``edge_mask`` for the padding).  Returns (node_t, node_q, chi2).
+    """
+    import numpy as _np
+    from jax.sharding import PartitionSpec as P
+
+    m = graph.num_nodes
+    sqrt_info = _sqrt_psd(graph.edge_info)
+
+    def step_fn(node_t, node_q, edge_i, edge_j, edge_t, edge_q, sqrt_i,
+                edge_mask, fixed):
+        def one_iter(state, _):
+            t, q = state
+            r, Ja, Jb = jax.vmap(_edge_res_and_jac)(
+                t[edge_i], q[edge_i], t[edge_j], q[edge_j], edge_t, edge_q)
+            w = edge_mask.astype(jnp.float32)
+            rW = jnp.einsum("eij,ej->ei", sqrt_i, r) * w[:, None]
+            JaW = sqrt_i @ Ja * w[:, None, None]
+            JbW = sqrt_i @ Jb * w[:, None, None]
+            H = jnp.zeros((m, 6, m, 6), jnp.float32)
+            ii, jj = edge_i, edge_j
+            H = H.at[ii, :, ii, :].add(jnp.einsum("eki,ekj->eij", JaW, JaW))
+            H = H.at[jj, :, jj, :].add(jnp.einsum("eki,ekj->eij", JbW, JbW))
+            Hab = jnp.einsum("eki,ekj->eij", JaW, JbW)
+            H = H.at[ii, :, jj, :].add(Hab)
+            H = H.at[jj, :, ii, :].add(jnp.swapaxes(Hab, -1, -2))
+            g = jnp.zeros((m, 6), jnp.float32)
+            g = g.at[ii].add(jnp.einsum("eki,ek->ei", JaW, rW))
+            g = g.at[jj].add(jnp.einsum("eki,ek->ei", JbW, rW))
+            # THE collective: reduce partial normal equations over chips
+            H = jax.lax.psum(H, axis)
+            g = jax.lax.psum(g, axis)
+            chi2 = jax.lax.psum(jnp.sum(rW * rW), axis)
+            pin = jnp.repeat(jnp.where(fixed, 1e10, 0.0), 6)
+            Hd = H.reshape(m * 6, m * 6) + jnp.diag(pin) \
+                + (lm_lambda + 1e-8) * jnp.eye(m * 6)
+            delta = jnp.linalg.solve(Hd, -g.reshape(-1)).reshape(m, 6)
+            delta = jnp.where(fixed[:, None], 0.0, delta)
+            dq = jnp.concatenate([jnp.ones((m, 1), jnp.float32),
+                                  0.5 * delta[:, 3:6]], axis=1)
+            q_new = se3.quat_mul(dq, q)
+            q_new = q_new / jnp.linalg.norm(q_new, axis=-1, keepdims=True)
+            return (t + delta[:, :3], q_new), chi2
+
+        (t, q), chi2s = jax.lax.scan(one_iter, (node_t, node_q), None,
+                                     length=iterations)
+        return t, q, chi2s[-1]
+
+    from jax.sharding import PartitionSpec
+    P_ = PartitionSpec
+    sharded = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P_(), P_(), P_(axis), P_(axis), P_(axis), P_(axis),
+                  P_(axis), P_(axis), P_()),
+        out_specs=(P_(), P_(), P_()),
+        check_vma=False)
+    fn = jax.jit(sharded)
+    return fn(graph.node_t, graph.node_q, graph.edge_i, graph.edge_j,
+              graph.edge_t, graph.edge_q, sqrt_info, graph.edge_mask,
+              graph.fixed)
