@@ -53,6 +53,10 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
 
     # --- pre-filtering (`mulls_slam.cpp:404-407`, `cfilter.hpp:2331-2343`)
     mask = raw.mask
+    if pre.vertical_ang_calib_on and pre.vertical_ang_correction_deg != 0.0:
+        from mulls_tpu.ops.motion import vertical_intrinsic_calibration
+        raw = raw.replace(xyz=vertical_intrinsic_calibration(
+            raw.xyz, pre.vertical_ang_correction_deg))
     if pre.apply_dist_filter:
         mask = voxel_ops.dist_filter_mask(raw.xyz, mask, pre.min_dist_used,
                                           pre.max_dist_used)

@@ -106,3 +106,54 @@ def write_map_outputs(points: np.ndarray, out_pcd: Optional[str] = None,
             plt.close(fig)
         except ImportError:
             np.save(os.path.splitext(out_bev)[0] + ".npy", img)
+
+
+def range_image(points: np.ndarray, width: int = 900, height: int = 64,
+                f_up_deg: float = 3.0, f_down_deg: float = 25.0,
+                max_distance: float = 70.0) -> np.ndarray:
+    """[N,3] -> [H,W] uint8 spherical range image — the reference's
+    HDL-64 range-image display (`cfilter.hpp:2714-2746`
+    ``pointcloud_to_rangeimage``): columns span azimuth, rows span the
+    [-f_down, +f_up] elevation fan, pixel value = range / max_distance.
+    """
+    img = np.zeros((height, width), np.uint8)
+    if len(points) == 0:
+        return img
+    pts = np.asarray(points, np.float64)
+    dist = np.linalg.norm(pts, axis=-1)
+    ok = dist > 1e-6
+    pts, dist = pts[ok], dist[ok]
+    hor = np.arctan2(pts[:, 1], pts[:, 0])
+    ver = np.degrees(np.arcsin(np.clip(pts[:, 2] / dist, -1.0, 1.0)))
+    col = np.clip((0.5 * (1.0 - hor / np.pi) * width).astype(int),
+                  0, width - 1)
+    row = np.clip(((1.0 - (f_up_deg - ver) / (f_up_deg + f_down_deg))
+                   * height).astype(int), 0, height - 1)
+    val = (255.0 * np.minimum(1.0, dist / max_distance)).astype(np.uint8)
+    img[height - 1 - row, col] = val
+    return img
+
+
+def occupancy_2d_map(points: np.ndarray, m2pix: float = 10.0,
+                     map_width: int = 1024, map_height: int = 1024,
+                     min_points_in_pix: int = 2, max_points_in_pix: int = 10,
+                     min_height: float = -1.0, max_height: float = 3.0,
+                     center: bool = False) -> np.ndarray:
+    """[N,3] -> [H,W] uint8 occupancy raster — the reference's
+    pointcloud-to-2dmap export (`cfilter.hpp:2750-2795` ``generate_2d_map``):
+    per-pixel point counts inside a height slab, linearly mapped so that
+    ``min_points_in_pix`` -> 255 (free/white) and ``max_points_in_pix``
+    -> 0 (occupied/black)."""
+    counts = np.zeros((map_height, map_width), np.int64)
+    if len(points):
+        pts = np.asarray(points, np.float64)
+        shift = pts[:, :2].mean(0) if center else np.zeros(2)
+        sel = (pts[:, 2] >= min_height) & (pts[:, 2] <= max_height)
+        pts = pts[sel]
+        x = ((pts[:, 0] - shift[0]) * m2pix + map_width // 2).astype(int)
+        y = (-(pts[:, 1] - shift[1]) * m2pix + map_height // 2).astype(int)
+        inb = (x >= 0) & (x < map_width) & (y >= 0) & (y < map_height)
+        np.add.at(counts, (y[inb], x[inb]), 1)
+    scaled = 255.0 + (counts - min_points_in_pix) * (
+        -255.0 / max(max_points_in_pix - min_points_in_pix, 1))
+    return np.clip(scaled, 0, 255).astype(np.uint8)

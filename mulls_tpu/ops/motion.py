@@ -73,3 +73,28 @@ def undistort(xyz: jnp.ndarray, ts_ratio: jnp.ndarray, mask: jnp.ndarray,
     out = jnp.einsum("nij,nj->ni", Rs, xyz) + ts
     keep = mask & (jnp.linalg.norm(xyz, axis=-1) > min_range)
     return jnp.where(keep[:, None], out, xyz)
+
+
+def vertical_intrinsic_calibration(xyz: jnp.ndarray,
+                                   var_vertical_ang_deg: float
+                                   ) -> jnp.ndarray:
+    """Regenerate a cloud whose scanner vertical angles are biased by a
+    constant intrinsic error (`cfilter.hpp:250-292`
+    ``vertical_intrinsic_calibration``): each return keeps its range and
+    azimuth but its elevation is shifted by ``var_vertical_ang_deg``.
+    A value >= 180 is the reference's sentinel for z-inversion (PANDAR XT).
+    Static no-op when the correction is 0 so jitted callers pay nothing.
+    """
+    if var_vertical_ang_deg == 0.0:
+        return xyz
+    if var_vertical_ang_deg >= 180.0:
+        return xyz * jnp.asarray([1.0, 1.0, -1.0], xyz.dtype)
+    dang = jnp.float32(var_vertical_ang_deg * jnp.pi / 180.0)
+    dist = jnp.linalg.norm(xyz, axis=-1)
+    safe = jnp.maximum(dist, 1e-12)
+    v_ang = jnp.arcsin(jnp.clip(xyz[:, 2] / safe, -1.0, 1.0))
+    v_ang_c = v_ang + dang
+    hor_scale = jnp.cos(v_ang_c) / jnp.maximum(jnp.cos(v_ang), 1e-12)
+    out = jnp.stack([xyz[:, 0] * hor_scale, xyz[:, 1] * hor_scale,
+                     dist * jnp.sin(v_ang_c)], -1)
+    return jnp.where(dist[:, None] > 0, out, xyz)
