@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flagfile", default=None)
     p.add_argument("--realtime_viewer_on", action="store_true",
                    help="ignored (headless build)")
-    p.add_argument("--coarse_reg", choices=["gnc", "ransac", "none"],
+    p.add_argument("--coarse_reg", choices=["gnc", "ransac", "fpfh", "none"],
                    default="gnc")
     p.add_argument("--json_out", default=None)
     return p
@@ -58,7 +58,28 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
     stats = {}
     T0 = jnp.eye(4, dtype=jnp.float32) if init_guess is None \
         else jnp.asarray(init_guess, jnp.float32)
-    if coarse != "none":
+    if coarse == "fpfh":
+        # FPFH-SAC path (`cregistration.hpp:372-407`) on the downsampled
+        # facade+ground geometry (normals come from the PCA pass)
+        from mulls_tpu.backend.fpfh import coarse_reg_fpfhsac
+        sx = jnp.concatenate([fs.down["facade"].xyz, fs.down["ground"].xyz])
+        sn = jnp.concatenate([fs.down["facade"].normal,
+                              fs.down["ground"].normal])
+        sm = jnp.concatenate([fs.down["facade"].mask, fs.down["ground"].mask])
+        tx = jnp.concatenate([ft.down["facade"].xyz, ft.down["ground"].xyz])
+        tn = jnp.concatenate([ft.down["facade"].normal,
+                              ft.down["ground"].normal])
+        tm = jnp.concatenate([ft.down["facade"].mask, ft.down["ground"].mask])
+        res_c, fitness = coarse_reg_fpfhsac(
+            sx, sn, sm, tx, tn, tm, jax.random.key(3),
+            search_radius=cfg.feature.cloud_pca_neigh_r,
+            min_inlier_count=cfg.submap.teaser_min_inlier_count)
+        stats["coarse_inliers"] = int(res_c.inlier_count)
+        stats["coarse_valid"] = bool(res_c.valid)
+        stats["fpfh_fitness"] = float(fitness)
+        if bool(res_c.valid):
+            T0 = res_c.transform
+    elif coarse != "none":
         m = match_ncc(ft.descriptors, fs.descriptors,
                       fixed_num_corr=cfg.submap.best_n_feature_match_on,
                       corr_num=cfg.submap.feature_corr_num,
