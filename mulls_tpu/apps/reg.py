@@ -118,8 +118,11 @@ def main(argv=None) -> int:
     from mulls_tpu.io.dataset import read_point_cloud
     from mulls_tpu.io.pcd import write_pcd
 
-    args = build_parser().parse_args(argv)
+    args, extra = build_parser().parse_known_args(argv)
     cfg = (load_flagfile(args.flagfile) if args.flagfile else MullsConfig())
+    if extra:  # gflags parity: any --name=value accepted on the CLI
+        from mulls_tpu.config import apply_flag_overrides
+        cfg = apply_flag_overrides(cfg, extra)
     tgt = read_point_cloud(args.point_cloud_1_path)
     src = read_point_cloud(args.point_cloud_2_path)
     guess = None

@@ -98,8 +98,11 @@ def _export_features(ds, cfg, frame_idx: int, out_dir: str) -> None:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    args, extra = build_parser().parse_known_args(argv)
     cfg = (load_flagfile(args.flagfile) if args.flagfile else MullsConfig())
+    if extra:  # gflags parity: any --name=value accepted on the CLI
+        from mulls_tpu.config import apply_flag_overrides
+        cfg = apply_flag_overrides(cfg, extra)
 
     import dataclasses
     if args.semantic_kitti_label_folder:

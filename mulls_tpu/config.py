@@ -433,28 +433,48 @@ def _parse_value(raw: str, typ):
     return typ(raw)
 
 
-def load_flagfile(path: str, base: Optional[MullsConfig] = None) -> MullsConfig:
-    """Load a reference-format gflag file (``--name=value`` lines) into a
-    :class:`MullsConfig`.  Unknown flags (visualization etc.) are ignored.
-    """
-    cfg = base or MullsConfig()
+def _apply_flag_lines(cfg: MullsConfig, lines) -> MullsConfig:
     sections: dict = {
         "preprocess": dict(), "ground": dict(), "feature": dict(),
         "reg": dict(), "map": dict(), "submap": dict(), "baseline": dict(),
     }
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line.startswith("--") or "=" not in line:
-                continue
-            name, _, raw = line[2:].partition("=")
-            entry = _FLAG_MAP.get(name.strip())
-            if entry is None:
-                continue
-            section, fname, typ = entry
-            sections[section][fname] = _parse_value(raw, typ)
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("--") or "=" not in line:
+            continue
+        name, _, raw = line[2:].partition("=")
+        entry = _FLAG_MAP.get(name.strip())
+        if entry is None:
+            continue
+        section, fname, typ = entry
+        sections[section][fname] = _parse_value(raw, typ)
     updates = {}
     for sec, kv in sections.items():
         if kv:
             updates[sec] = dataclasses.replace(getattr(cfg, sec), **kv)
     return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def load_flagfile(path: str, base: Optional[MullsConfig] = None) -> MullsConfig:
+    """Load a reference-format gflag file (``--name=value`` lines) into a
+    :class:`MullsConfig`.  Unknown flags (visualization etc.) are ignored.
+    """
+    cfg = base or MullsConfig()
+    with open(path) as f:
+        return _apply_flag_lines(cfg, f)
+
+
+def apply_flag_overrides(cfg: MullsConfig, args) -> MullsConfig:
+    """Apply gflags-style ``--name=value`` command-line overrides on top of
+    a config — the reference binaries accept every gflag directly on the
+    command line (`test/mulls_slam.cpp:203` ``ParseCommandLineFlags``), not
+    only via ``--flagfile``.  Unknown flags warn (visualization-only flags
+    of the reference are accepted silently)."""
+    import sys
+    known, unknown = [], []
+    for a in args:
+        name = a[2:].partition("=")[0] if a.startswith("--") else ""
+        (known if name in _FLAG_MAP else unknown).append(a)
+    for a in unknown:
+        print(f"[mulls_tpu] ignoring unknown flag {a!r}", file=sys.stderr)
+    return _apply_flag_lines(cfg, known)

@@ -73,3 +73,16 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.eye(3))
     assert payload["codes"] == [1, 1, 1]
     assert ck.load_checkpoint(str(tmp_path / "missing.ckpt")) is None
+
+
+def test_cli_flag_overrides():
+    """gflags parity: --name=value on the command line overrides the
+    flagfile (`test/mulls_slam.cpp:203` ParseCommandLineFlags)."""
+    from mulls_tpu.config import MullsConfig, apply_flag_overrides
+    cfg = MullsConfig()
+    out = apply_flag_overrides(cfg, ["--vertical_ang_calib_on=true",
+                                     "--vertical_ang_correction_deg=0.195",
+                                     "--some_unknown_flag=1"])
+    assert out.preprocess.vertical_ang_calib_on is True
+    assert abs(out.preprocess.vertical_ang_correction_deg - 0.195) < 1e-9
+    # unknown flags are warned about, not fatal
