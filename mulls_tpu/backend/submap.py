@@ -101,6 +101,10 @@ class SlamBackend:
         self.edges: List[Edge] = []
         self.events: List[str] = []  # back-end decision log (glog parity)
         self.cooling = 0
+        # frames since the last successful PGO — beyond
+        # num_frame_thre_large_drift the odometry prior is distrusted
+        # (`mulls_slam.cpp:505,558` accu_frame_count_wo_opt)
+        self.frames_wo_opt = 0
         self._accu_tran = 0.0
         self._accu_rot_deg = 0.0
         self._accu_frames = 0
@@ -115,6 +119,7 @@ class SlamBackend:
         c = np.clip((np.trace(T_rel[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
         self._accu_rot_deg += float(np.degrees(np.arccos(c)))
         self._accu_frames += 1
+        self.frames_wo_opt += 1
 
     def should_segment(self) -> bool:
         s = self.cfg.submap
@@ -210,16 +215,27 @@ class SlamBackend:
             self.cooling -= 1
             return None
 
+        # large-drift mode (`mulls_slam.cpp:505-511`): after too many frames
+        # without a successful PGO, widen the search and drop the IoU gate
+        overall = (s_cfg.overall_loop_closure_searching_on
+                   and self.frames_wo_opt > s_cfg.num_frame_thre_large_drift)
+        search_dist = (1.5 if overall else 1.0) * s_cfg.neighbor_search_dist
+        iou_gate = 0.0 if overall else s_cfg.min_iou_thre
+        if overall:
+            self.events.append(
+                f"submap {b.sid}: large-drift loop search "
+                f"({self.frames_wo_opt} frames w/o opt)")
+
         # loop candidates (`build_pose_graph.cpp:123-209`)
         cands = []
         for old in self.submaps[:-1]:
             if b.sid - old.sid < s_cfg.min_submap_id_diff:
                 continue
             d = np.linalg.norm(old.center[:2] - b.center[:2])
-            if d > s_cfg.neighbor_search_dist + 0.02 * self._dist_since(old):
+            if d > search_dist + 0.02 * self._dist_since(old):
                 continue
             iou = _bbx_iou_2d(old, b)
-            if iou < s_cfg.min_iou_thre:
+            if iou < iou_gate:
                 self.events.append(f"cand {old.sid}->{b.sid} rejected: "
                                    f"iou {iou:.2f}")
                 continue
@@ -233,27 +249,47 @@ class SlamBackend:
                 cands[:s_cfg.max_used_reg_edge_per_optimization]):
             T_guess = np.linalg.inv(old.pose) @ b.pose
             T_init = T_guess
-            if transfer_T is None and iou > s_cfg.min_iou_thre_global_reg:
+            global_reg_ok = False
+            if transfer_T is None and (iou > s_cfg.min_iou_thre_global_reg
+                                       or overall):
                 # global registration attempt for high-overlap candidates
                 # without a reliable transform yet (`mulls_slam.cpp:529-556`);
                 # on failure fall back to the odometry prediction and let the
                 # fine registration's own gates decide
                 T_coarse, ok = self.coarse_align(old, b, key)
+                # drifted mode uses looser consistency tolerances
+                # (`mulls_slam.cpp:551-555`: 10x/6x vs 3x/3x)
+                f_t, f_r = (10.0, 6.0) if overall else (3.0, 3.0)
                 if ok and bool(cr.double_check_tran(
                         jnp.asarray(T_coarse, jnp.float32),
                         jnp.asarray(T_guess, jnp.float32),
-                        s_cfg.wrong_edge_tran_thre * 3,
-                        s_cfg.wrong_edge_rot_thre_deg * 3)):
+                        s_cfg.wrong_edge_tran_thre * f_t,
+                        s_cfg.wrong_edge_rot_thre_deg * f_r)):
                     T_init = T_coarse
+                    global_reg_ok = True
                     self.events.append(f"loop {old.sid}->{b.sid}: using "
                                        "coarse alignment")
                 else:
                     self.events.append(f"loop {old.sid}->{b.sid}: coarse "
                                        "failed, using odometry prediction")
+            if (not global_reg_ok and transfer_T is None
+                    and self.frames_wo_opt > s_cfg.num_frame_thre_large_drift):
+                # large drift + no global registration: the odometry prior
+                # is untrustworthy, skip the candidate (`mulls_slam.cpp:558`)
+                self.events.append(f"loop {old.sid}->{b.sid}: skipped, "
+                                   "drifted odometry prior only")
+                continue
             res = self.map_to_map(old, b, T_init)
             if int(res.process_code) != 1:
                 self.events.append(f"loop {old.sid}->{b.sid}: fine reg code "
                                    f"{int(res.process_code)}")
+                continue
+            if float(res.confidence) < s_cfg.map_to_map_min_cor_ratio:
+                # overlap too thin for a trustworthy m2m edge
+                # (`--map_to_map_min_cor_ratio`, `mulls_slam.cpp:566`)
+                self.events.append(
+                    f"loop {old.sid}->{b.sid}: rejected, corr ratio "
+                    f"{float(res.confidence):.3f}")
                 continue
             self.events.append(f"loop {old.sid}->{b.sid}: accepted, sigma "
                                f"{float(res.sigma):.4f}")
@@ -271,6 +307,7 @@ class SlamBackend:
         poses = self.optimize()
         if poses is not None:
             self.cooling = s_cfg.cooling_submap_num
+            self.frames_wo_opt = 0
         return poses
 
     def _dist_since(self, old: Submap) -> float:

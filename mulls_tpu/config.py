@@ -101,6 +101,11 @@ class PreprocessConfig:
     underground_height_thre: float = -6.0
     approx_scanner_height: float = 1.8
     cloud_down_res: float = 0.0  # pre-voxel-downsample resolution (0 = off)
+    # ROI filter: delete the y-band (traffic lane) from the unground cloud
+    # (`cfilter.hpp:2367-2374`, `bbx_filter(..., delete_box=true)`)
+    apply_roi_filter: bool = False
+    roi_min_y: float = 0.0
+    roi_max_y: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -171,6 +176,12 @@ class FeatureConfig:
     vertex_keep_num: int = 1024
     xy_balanced_sector_num: int = 4
     nms_iterations: int = 3  # fixed-point iterations of batched matrix-NMS
+    # self-adaptive parameter update (`--adaptive_parameters_on`,
+    # `cfilter.hpp:2404-2444` update_parameters_self_adaptive): when the
+    # previous frame yielded too few non-ground features, the non-ground
+    # stochastic downsample keeps more points next frame
+    adaptive_parameters_on: bool = False
+    adaptive_nonground_min_expected: int = 200
 
 
 @dataclass(frozen=True)
@@ -230,6 +241,9 @@ class MapConfig:
     # scan-to-scan pre-registration refining the motion-model guess before
     # scan-to-map (`--scan_to_scan_module_on`, `mulls_slam.cpp:631-665`)
     scan_to_scan_module_on: bool = False
+    # always scan-to-scan for the first N frames while the local map warms
+    # up (`--initial_scan2scan_frame_num`, `mulls_slam.cpp:631,667`)
+    initial_scan2scan_frame_num: int = 2
     # zero-velocity update: lock z when (near) stationary
     # (`--zupt_on_or_not`, `common_nav.cpp:6-22`)
     zupt_on: bool = False
@@ -270,6 +284,14 @@ class SubmapConfig:
     cooling_submap_num: int = 2
     adjacent_edge_weight_ratio: float = 1.0
     map2map_reliable_sigma_thre: float = 0.04
+    # min feature-overlap (correspondence) ratio for accepting a map-to-map
+    # registration (`--map_to_map_min_cor_ratio`, `mulls_slam.cpp:566`)
+    map_to_map_min_cor_ratio: float = 0.15
+    # after this many frames without a successful PGO, odometry drift is
+    # assumed large: widen the loop-candidate search and prefer global
+    # (coarse) registration over the odometry prior
+    # (`--num_frame_thre_large_drift`, `mulls_slam.cpp:505,558`)
+    num_frame_thre_large_drift: int = 1000
     overall_loop_closure_searching_on: bool = False
     # global (coarse) registration
     teaser_based_global_registration_on: bool = True
@@ -423,7 +445,47 @@ _FLAG_MAP = {
     "framewise_pgo_on": ("submap", "framewise_pgo_on", bool),
     "transfer_correct_reg_tran_on": ("submap", "transfer_correct_reg_tran_on", bool),
     "pose_graph_optimization_method": ("submap", "pose_graph_optimization_method", str),
+    # --- aliases / late additions (reference flag name -> config field)
+    "apply_roi_filter": ("preprocess", "apply_roi_filter", bool),
+    "roi_min_y": ("preprocess", "roi_min_y", float),
+    "roi_max_y": ("preprocess", "roi_max_y", float),
+    "gf_normal_estimation_radius": ("ground", "normal_estimation_radius", float),
+    "pca_down_rate": ("feature", "pca_down_rate", int),
+    "roof_down_fixed_num": ("feature", "roof_down_fixed_num", int),
+    "linearity_thre_down": ("feature", "linearity_thre_down", float),
+    "planarity_thre_down": ("feature", "planarity_thre_down", float),
+    "vertex_extraction_method": ("feature", "extract_vertex_points_method", int),
+    "adaptive_parameters_on": ("feature", "adaptive_parameters_on", bool),
+    "reg_intersection_filter_on": ("reg", "apply_intersection_filter", bool),
+    "post_sigma_thre": ("reg", "sigma_thre", float),
+    "z_xy_balance_ratio": ("reg", "z_xy_balance_ratio", float),
+    "reg_max_iter_num_m2m": ("reg", "reg_max_iter_num_m2m", int),
+    "initial_scan2scan_frame_num": ("map", "initial_scan2scan_frame_num", int),
+    "min_submap_id_diff": ("submap", "min_submap_id_diff", int),
+    "max_used_reg_edge_per_optimization":
+        ("submap", "max_used_reg_edge_per_optimization", int),
+    "global_reg_min_inlier_count": ("submap", "teaser_min_inlier_count", int),
+    "map_to_map_min_cor_ratio": ("submap", "map_to_map_min_cor_ratio", float),
+    "num_frame_thre_large_drift": ("submap", "num_frame_thre_large_drift", int),
+    # NDT neighbor search: 7 -> DIRECT7, else DIRECT1 (`ndt_omp.h:51-72`)
+    "ndt_searching_method": ("baseline", "direct7",
+                             lambda raw: int(raw) == 7),
 }
+
+# reference flags with no runtime effect here: visualization-window and
+# deprecated/dead flags are accepted silently rather than warned about
+_IGNORED_FLAGS = frozenset({
+    "real_time_viewer_on", "screen_width", "screen_height",
+    "vis_intensity_scale", "vis_map_history_down_rate",
+    "vis_map_history_keep_frame_num", "vis_initial_color_type",
+    "laser_vis_size", "vis_pause_at_loop_closure", "show_range_image",
+    "show_bev_image",
+    "detect_curb_or_not",  # "(Deprecated)" in the reference, cfilter.hpp:1387
+    "frame_estimated_error_tran", "frame_estimated_error_rot_deg",  # unread
+    "bsc_grid_num_per_side",  # BSC descriptor is dead code upstream
+    "voxel_gicp_on",  # our GICP baseline is always voxelized (TPU design)
+    "motion_compensation_on",  # superseded by motion_compensation_method
+})
 
 
 def _parse_value(raw: str, typ):
@@ -474,6 +536,8 @@ def apply_flag_overrides(cfg: MullsConfig, args) -> MullsConfig:
     known, unknown = [], []
     for a in args:
         name = a[2:].partition("=")[0] if a.startswith("--") else ""
+        if name in _IGNORED_FLAGS:
+            continue
         (known if name in _FLAG_MAP else unknown).append(a)
     for a in unknown:
         print(f"[mulls_tpu] ignoring unknown flag {a!r}", file=sys.stderr)

@@ -43,8 +43,8 @@ def _gather_cloud(xyz, normal, intensity, strength, height, ts, mask,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
-                     ) -> FeatureFrame:
+def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
+                     nonground_rate: jnp.ndarray = None) -> FeatureFrame:
     pre = cfg.preprocess
     gcfg = cfg.ground
     fcfg = cfg.feature
@@ -78,10 +78,19 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array
     # --- ground / unground split (`cfilter.hpp:1658-2036`)
     g = ground_ops.fast_ground_filter(
         raw.xyz, raw.intensity, mask, gcfg, shapes, keys[0],
-        fixed_num_downsampling=fcfg.fixed_num_downsampling_on)
+        fixed_num_downsampling=fcfg.fixed_num_downsampling_on,
+        nonground_rate=nonground_rate)
+
+    # --- ROI filter: delete the y band (e.g. oncoming-traffic lane) from
+    # the unground cloud (`cfilter.hpp:2367-2374`, bbx delete_box=true)
+    is_unground = g.is_unground
+    if pre.apply_roi_filter:
+        in_band = ((raw.xyz[:, 1] > pre.roi_min_y)
+                   & (raw.xyz[:, 1] < pre.roi_max_y))
+        is_unground = is_unground & ~in_band
 
     # --- compact the unground set to the PCA budget
-    ug_idx, ug_valid = compact_topk_random(g.is_unground,
+    ug_idx, ug_valid = compact_topk_random(is_unground,
                                            shapes.n_unground, keys[1])
     ug_xyz = raw.xyz[ug_idx]
     ug_int = raw.intensity[ug_idx]

@@ -75,6 +75,7 @@ def fast_ground_filter(
     shapes: ShapeConfig,
     key: jax.Array,
     fixed_num_downsampling: bool = True,
+    nonground_rate: jnp.ndarray = None,
 ) -> GroundResult:
     n = xyz.shape[0]
     g = shapes.grid_dim
@@ -143,13 +144,17 @@ def fast_ground_filter(
             return w * base_rate + 1.0
         if cfg.dist_inverse_sampling_method == 2:
             return w * w * base_rate + 1.0
-        return jnp.full_like(dist, float(base_rate))
+        return jnp.zeros_like(dist) + base_rate
 
     kg, ku1, ku2 = jax.random.split(key, 3)
     high_intensity = intensity > cfg.intensity_thre_nonground
 
+    # the non-ground rate may be a traced scalar (self-adaptive update,
+    # `cfilter.hpp:2416-2444`) instead of the static config value
+    ug_base = (jnp.float32(cfg.gf_nonground_down_rate)
+               if nonground_rate is None else nonground_rate)
     ug_rate = rate_from_dist(jnp.where(pre_unground, rng_all, p_cell_dist),
-                             cfg.gf_nonground_down_rate)
+                             ug_base)
     u = jax.random.uniform(ku1, (n,))
     ug_keep = (u * jnp.maximum(ug_rate, 1.0) < 1.0) | high_intensity
     is_unground = (pre_unground | in_cell_unground | nonground_cell) & ug_keep

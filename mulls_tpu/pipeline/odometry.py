@@ -52,6 +52,10 @@ class SlamState:
     # scan-to-scan module is on (static in cfg, so the pytree structure is
     # consistent per compiled program)
     prev_frame: object = None
+    # dynamic non-ground stochastic-downsample rate — the live part of the
+    # reference's self-adaptive parameter update
+    # (`update_parameters_self_adaptive`, `cfilter.hpp:2416-2444`)
+    nonground_rate: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -106,6 +110,7 @@ def init_state(cfg: MullsConfig) -> SlamState:
         frame_idx=jnp.int32(0),
         key=jax.random.key(cfg.seed),
         prev_frame=prev,
+        nonground_rate=jnp.float32(cfg.ground.gf_nonground_down_rate),
     )
 
 
@@ -127,7 +132,22 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
         xyz_u = motion.undistort(raw.xyz, s, raw.mask, state.T_prev)
         raw = raw.replace(xyz=xyz_u)
 
-    frame = extract_features(raw, cfg, k_feat)
+    frame = extract_features(
+        raw, cfg, k_feat,
+        nonground_rate=(state.nonground_rate
+                        if cfg.feature.adaptive_parameters_on else None))
+
+    # self-adaptive parameter update (`cfilter.hpp:2416-2444`): too few
+    # non-ground features this frame -> lower the stochastic downsample
+    # rate (keep more points) for the next frame
+    ng_rate = state.nonground_rate
+    if cfg.feature.adaptive_parameters_on:
+        ng_count = (jnp.sum(frame.down["facade"].mask)
+                    + jnp.sum(frame.down["pillar"].mask)).astype(jnp.float32)
+        min_exp = jnp.float32(cfg.feature.adaptive_nonground_min_expected)
+        lowered = jnp.maximum(1.0, ng_rate
+                              - min_exp / jnp.maximum(ng_count, 1.0))
+        ng_rate = jnp.where(ng_count < min_exp, lowered, ng_rate)
 
     first = state.frame_idx == 0
     if cfg.map.initial_guess_mode == 2:
@@ -147,6 +167,25 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
 
     res = mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg, guess,
                      max_iter=cfg.reg.reg_max_iter_num_s2m)
+
+    # scan-to-map cadence (`mulls_slam.cpp:631,667`): within the first
+    # `initial_scan2scan_frame_num` frames, or on frames skipped by
+    # `s2m_frequency`, the scan-to-scan result stands instead of s2m.
+    # (Only meaningful with the s2s module on; otherwise the warm-up local
+    # map IS the previous frame, so s2m degenerates to s2s by itself.)
+    if cfg.map.scan_to_scan_module_on and (
+            cfg.map.s2m_frequency > 1
+            or cfg.map.initial_scan2scan_frame_num > 0):
+        idx = state.frame_idx
+        use_s2s = ((idx <= cfg.map.initial_scan2scan_frame_num)
+                   | (idx % cfg.map.s2m_frequency != 0))
+        s2s_ok = s2s.process_code == 1
+        res = res.replace(
+            transform=jnp.where(use_s2s & s2s_ok, s2s.transform,
+                                res.transform),
+            sigma=jnp.where(use_s2s & s2s_ok, s2s.sigma, res.sigma),
+            process_code=jnp.where(use_s2s & s2s_ok, s2s.process_code,
+                                   res.process_code))
 
     failed = res.process_code < 0
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -172,7 +211,8 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
                           frame_idx=state.frame_idx + 1, key=key,
                           prev_frame=(frame.down
                                       if cfg.map.scan_to_scan_module_on
-                                      else None))
+                                      else None),
+                          nonground_rate=ng_rate)
     code = jnp.where(first, 1, res.process_code)
     out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma, code=code,
                   confidence=res.confidence, iterations=res.iterations,
