@@ -39,6 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_num_end", type=int, default=None)
     p.add_argument("--frame_step", type=int, default=1)
     p.add_argument("--gt_body_pose_file_path", default=None)
+    p.add_argument("--gt_oxts_format", action="store_true",
+                   help="gt poses are tx ty tz qx qy qz qw lines "
+                        "(`dataio.hpp:2003-2040`) instead of KITTI 3x4")
+    p.add_argument("--gt_in_lidar_frame", action="store_true",
+                   help="gt poses are already in the LiDAR frame "
+                        "(no calib applied, `mulls_slam.cpp:301-314`)")
+    p.add_argument("--output_gt_lidar_pose_file_path", default=None)
+    p.add_argument("--lo_lidar_pose_point_cloud", default=None,
+                   help="write the estimated trajectory as a .pcd "
+                        "(`dataio.hpp:2105-2123`)")
+    p.add_argument("--gt_lidar_pose_point_cloud", default=None)
     p.add_argument("--calib_file_path", default=None)
     p.add_argument("--output_adjacent_lo_pose_file_path", default=None)
     p.add_argument("--output_lo_body_pose_file_path", default=None)
@@ -55,6 +66,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantic-assisted extraction path)")
     p.add_argument("--output_map_pcd", default=None,
                    help="write the merged, outlier-filtered map cloud")
+    p.add_argument("--write_out_gt_map_on", action="store_true",
+                   help="assemble the map with gt poses instead of the "
+                        "estimated ones (`--write_out_gt_map_on`)")
+    p.add_argument("--write_map_each_frame", action="store_true",
+                   help="write each registered frame as its own pcd into "
+                        "--output_map_point_cloud_folder_path")
+    p.add_argument("--output_map_point_cloud_folder_path",
+                   default="map_out")
+    p.add_argument("--map_filter_on", type=int, default=1,
+                   help="radius-outlier filter the assembled map (0|1)")
     p.add_argument("--output_map_bev", default=None,
                    help="write a birds-eye height image of the map")
     p.add_argument("--map_voxel_size", type=float, default=0.25)
@@ -194,17 +215,55 @@ def main(argv=None) -> int:
               f"(feature {t[:, 0].mean():.1f} | map {t[:, 1].mean():.1f} | "
               f"reg {t[:, 2].mean():.1f} | loop {t[:, 3].mean():.1f})")
 
-    if args.output_map_pcd or args.output_map_bev:
+    gt_body = gt_lidar = None
+    if args.gt_body_pose_file_path:
+        gt_body = (kitti_io.read_pose_quat(args.gt_body_pose_file_path)
+                   if args.gt_oxts_format
+                   else kitti_io.read_kitti_poses(args.gt_body_pose_file_path))
+        gt_body = np.einsum("ij,njk->nik", np.linalg.inv(gt_body[0]), gt_body)
+        gt_lidar = (gt_body if args.gt_in_lidar_frame
+                    else kitti_io.apply_calibration(gt_body, calib))
+        if args.output_gt_lidar_pose_file_path:
+            kitti_io.write_kitti_poses(args.output_gt_lidar_pose_file_path,
+                                       gt_lidar)
+
+    # trajectory-as-pointcloud export (`dataio.hpp:2105-2123`)
+    from mulls_tpu.io.pcd import write_pcd
+    if args.lo_lidar_pose_point_cloud:
+        write_pcd(args.lo_lidar_pose_point_cloud,
+                  poses_lidar[:, :3, 3].astype(np.float32))
+    if args.gt_lidar_pose_point_cloud and gt_lidar is not None:
+        write_pcd(args.gt_lidar_pose_point_cloud,
+                  gt_lidar[:, :3, 3].astype(np.float32))
+
+    if args.output_map_pcd or args.output_map_bev or args.write_map_each_frame:
         from mulls_tpu.mapping.assembly import (accumulate_map,
                                                 radius_outlier_filter,
                                                 write_map_outputs)
-        pts = accumulate_map(ds, poses_lidar, voxel_res=args.map_voxel_size)
-        pts = radius_outlier_filter(pts)
-        write_map_outputs(pts, args.output_map_pcd, args.output_map_bev)
-        print(f"[mulls_tpu] map assembled: {len(pts)} points")
+        map_poses = (gt_lidar if (args.write_out_gt_map_on
+                                  and gt_lidar is not None) else poses_lidar)
+        if args.write_map_each_frame:
+            # per-frame registered clouds (`--write_map_each_frame`)
+            os.makedirs(args.output_map_point_cloud_folder_path,
+                        exist_ok=True)
+            for i in range(min(len(ds), len(map_poses))):
+                d = ds[i]
+                xyz = d["xyz"][d["mask"]]
+                T = map_poses[i]
+                moved = xyz @ T[:3, :3].T.astype(np.float32) \
+                    + T[:3, 3].astype(np.float32)
+                write_pcd(os.path.join(
+                    args.output_map_point_cloud_folder_path,
+                    f"{i:06d}.pcd"), moved)
+        if args.output_map_pcd or args.output_map_bev:
+            pts = accumulate_map(ds, map_poses,
+                                 voxel_res=args.map_voxel_size)
+            if args.map_filter_on:
+                pts = radius_outlier_filter(pts)
+            write_map_outputs(pts, args.output_map_pcd, args.output_map_bev)
+            print(f"[mulls_tpu] map assembled: {len(pts)} points")
 
-    if args.gt_body_pose_file_path:
-        gt_body = kitti_io.read_kitti_poses(args.gt_body_pose_file_path)
+    if gt_body is not None:
         m = min(len(gt_body), len(poses_body))
         errs = kitti_metrics.compute_error(gt_body[:m], poses_body[:m])
         summary = kitti_metrics.summarize(errs)
