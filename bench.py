@@ -60,13 +60,13 @@ def main():
         state, vecs = slam_scan(state, batch, cfg)
     jax.block_until_ready(state.pose)
 
-    # timed: enqueue-to-completion of the whole streamed run; best of two
+    # timed: enqueue-to-completion of the whole streamed run; best of three
     # passes (the tunneled link's throughput fluctuates several-fold
     # between sessions — the better pass reflects the pipeline, the worse
     # one the weather)
     fps = 0.0
     parts = []
-    for _ in range(2):
+    for _ in range(3):
         state = init_state(cfg)
         parts = []
         t0 = time.perf_counter()

@@ -84,3 +84,17 @@ def test_sharded_pgo_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-3)
     np.testing.assert_allclose(np.asarray(t2)[:, 0],
                                t_true[:, 0], atol=0.05)
+
+
+def test_distributed_helpers():
+    """`parallel/distributed.py`: process slicing + sequence padding."""
+    from mulls_tpu.parallel import distributed as dist
+    from mulls_tpu.parallel.mesh import make_mesh
+    assert dist.initialize_from_env() is False  # single host: no-op
+    b, e = dist.process_slice(10)
+    assert (b, e) == (0, 10)  # one process owns everything
+    mesh = dist.global_mesh()
+    assert mesh.devices.size == 8
+    padded = dist.shard_sequences([1, 2, 3], make_mesh(8))
+    assert len(padded) == 8 and padded[:3] == [1, 2, 3]
+    assert all(x == 3 for x in padded[3:])
