@@ -169,8 +169,53 @@ def fast_ground_filter(
 
     # --- ground normals -----------------------------------------------------
     if cfg.ground_normal_method == 3:
-        # per-cell LS plane from in-band second moments
+        # per-cell RANSAC plane (`estimate_ground_normal_by_ransac`,
+        # `cfilter.hpp:1909,2038-2054`: dist_thre = 0.3 * in-grid height
+        # threshold, then PCL's optimizeCoefficients = LS refit on the
+        # consensus set).  All cells and all hypotheses run at once: each
+        # hypothesis picks 3 random in-band members per cell by
+        # segment-argmax over random scores, planes are scored by
+        # segment-summed inlier counts, and the best consensus set per
+        # cell feeds the moment-based LS refit below.
         gm = band
+        gcell = jnp.where(gm, cell, num_cells)
+        ransac_thre = 0.3 * cfg.gf_in_grid_h_thre
+        n_hyp = 8  # vectorized equivalent of the reference's 20 seq. iters
+        hyp_keys = jax.random.split(ku2, 3 * n_hyp)
+
+        def pick_per_cell(k):
+            """One random in-band member per cell -> [C, 3] xyz."""
+            score = jnp.where(gm, jax.random.uniform(k, (n,)), -1.0)
+            cmax = jax.ops.segment_max(score, gcell,
+                                       num_segments=num_cells + 1)[:num_cells]
+            picked = gm & (score == cmax[jnp.clip(cell, 0, num_cells - 1)])
+            pts = jnp.zeros((num_cells + 1, 3), jnp.float32).at[gcell].add(
+                jnp.where(picked[:, None], xyz, 0.0))[:num_cells]
+            # duplicate argmax ties are vanishing; normalize by pick count
+            cnt = jnp.zeros((num_cells + 1,), jnp.float32).at[gcell].add(
+                picked.astype(jnp.float32))[:num_cells]
+            return pts / jnp.maximum(cnt, 1.0)[:, None]
+
+        best_inl = jnp.zeros((n,), bool)
+        best_cnt = jnp.zeros((num_cells,), jnp.float32)
+        cell_of = jnp.clip(cell, 0, num_cells - 1)
+        for h in range(n_hyp):
+            p1 = pick_per_cell(hyp_keys[3 * h])
+            p2 = pick_per_cell(hyp_keys[3 * h + 1])
+            p3 = pick_per_cell(hyp_keys[3 * h + 2])
+            nrm_h = jnp.cross(p2 - p1, p3 - p1)
+            nrm_h = nrm_h / jnp.maximum(
+                jnp.linalg.norm(nrm_h, axis=-1, keepdims=True), 1e-9)
+            d = jnp.abs(jnp.sum((xyz - p1[cell_of]) * nrm_h[cell_of], -1))
+            inl = gm & (d <= ransac_thre)
+            cnt_h = jax.ops.segment_sum(inl.astype(jnp.float32), gcell,
+                                        num_segments=num_cells + 1)[:num_cells]
+            better = cnt_h > best_cnt
+            best_cnt = jnp.where(better, cnt_h, best_cnt)
+            best_inl = jnp.where(better[cell_of], inl, best_inl)
+
+        # LS refit on the per-cell consensus set (optimizeCoefficients)
+        gm = best_inl
         gcell = jnp.where(gm, cell, num_cells)
         x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
         feats = jnp.stack([jnp.ones_like(x), x, y, zz,
@@ -194,8 +239,9 @@ def fast_ground_filter(
         p_nz_ok = cell_nz_ok[jnp.clip(cell, 0, num_cells - 1)]
         normal = jnp.where(p_nz_ok[:, None], p_nrm,
                            jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0))
-        # reference drops ground points whose cell plane is too steep
-        is_ground = is_ground & p_nz_ok
+        # reference drops ground points whose cell plane is too steep, and
+        # non-consensus points (`grid_ground.swap(grid_ground_fit)`)
+        is_ground = is_ground & p_nz_ok & best_inl
     else:
         # method 0 here; methods 1/2 (radius/kNN PCA on the ground cloud)
         # are applied by the caller via ops.pca on the compacted ground set

@@ -213,3 +213,40 @@ def test_ground_filter_synthetic(rng):
     nz = np.asarray(res.normal)[:n_g][is_g[:n_g]][:, 2]
     assert (np.abs(nz) > 0.9).mean() > 0.95
     assert not (is_g & ~np.asarray(mask)).any()
+
+
+def test_ground_normal_ransac_robust_to_outliers(rng):
+    """Method 3 (per-cell RANSAC plane, `cfilter.hpp:2038-2054`) recovers a
+    tilted plane's normal despite gross outliers that would bend an LS
+    fit."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from mulls_tpu.config import GroundFilterConfig, ShapeConfig
+    from mulls_tpu.ops.ground import fast_ground_filter
+
+    n = 8192
+    # one big cell: gently tilted plane z = 0.08 x + noise
+    x = rng.uniform(-1.2, 1.2, n).astype(np.float32)
+    y = rng.uniform(-1.2, 1.2, n).astype(np.float32)
+    z = (0.08 * x + 0.005 * rng.normal(size=n)).astype(np.float32)
+    # 15% outliers well above the plane but inside the in-grid band
+    out = rng.uniform(size=n) < 0.15
+    z = np.where(out, z + rng.uniform(0.15, 0.22, n), z).astype(np.float32)
+    xyz = jnp.asarray(np.stack([x, y, z], -1))
+    cfg = GroundFilterConfig(gf_grid_size=3.0, gf_in_grid_h_thre=0.3,
+                             gf_neigh_grid_h_thre=1.5, gf_max_h=10.0,
+                             ground_normal_method=3, gf_grid_min_pt_num=10,
+                             dist_inverse_sampling_method=0)
+    shapes = ShapeConfig(n_raw=n, grid_dim=4)
+    g = fast_ground_filter(xyz, jnp.zeros(n), jnp.ones(n, bool), cfg,
+                           shapes, jax.random.key(0))
+    gmask = np.asarray(g.is_ground)
+    assert gmask.sum() > 0.5 * n
+    # consensus excludes the lifted outliers
+    assert (gmask & out).sum() < 0.02 * n
+    nrm = np.asarray(g.normal)[gmask].mean(0)
+    nrm /= np.linalg.norm(nrm)
+    expect = np.array([-0.08, 0.0, 1.0])
+    expect /= np.linalg.norm(expect)
+    assert abs(float(nrm @ expect)) > 0.999, nrm
