@@ -22,17 +22,19 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from mulls_tpu.backend.coarse_reg import (CoarseRegResult, _kabsch, _pack,
-                                          coarse_reg_ransac)
+from mulls_tpu.backend.coarse_reg import CoarseRegResult, _kabsch, _pack
 
 N_BINS = 11  # PCL FPFHSignature33: 11 bins x 3 angular features
 
 
 def _soft_histogram(bins: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """bins [N, N] int in [0, N_BINS), weights [N, N] -> [N, N_BINS]
-    per-row weighted counts."""
-    one_hot = (bins[..., None] == jnp.arange(N_BINS)).astype(jnp.float32)
-    return jnp.einsum("nq,nqb->nb", weights, one_hot)
+    per-row weighted counts.  Accumulates bin by bin so only [N, N]
+    transients exist (a one-hot [N, N, 11] tensor would be ~0.7 GB at
+    N=4096)."""
+    return jnp.stack(
+        [jnp.sum(jnp.where(bins == b, weights, 0.0), axis=1)
+         for b in range(N_BINS)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=())
@@ -147,10 +149,13 @@ def _sac_ia(src_xyz, src_mask, tgt_xyz, tgt_mask, topk_tgt, key,
         nn = _nn_d2(proj, tgt_xyz, tgt_mask)
         return jnp.sum(jnp.minimum(nn, thre2), -1)
 
-    chunk = 64
+    chunk = 64  # hypotheses are padded up so any count works
+    n_pad = -num_hypotheses % chunk
+    Rp = jnp.concatenate([R, jnp.broadcast_to(jnp.eye(3), (n_pad, 3, 3))])
+    tp = jnp.concatenate([t, jnp.full((n_pad, 3), 1e6, t.dtype)])
     scores = jax.lax.map(
-        score_chunk, (R.reshape(-1, chunk, 3, 3), t.reshape(-1, chunk, 3))
-    ).reshape(num_hypotheses)
+        score_chunk, (Rp.reshape(-1, chunk, 3, 3), tp.reshape(-1, chunk, 3))
+    ).reshape(num_hypotheses + n_pad)[:num_hypotheses]
     best = jnp.argmin(scores)
     Rb, tb = R[best], t[best]
 

@@ -121,12 +121,13 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
             ta, qa, tb, qb, graph.edge_t, graph.edge_q)
         w_edge = graph.edge_mask.astype(jnp.float32)
         if robust_kernel:
-            # Huber re-weighting on the whitened residual norm
+            # Huber IRLS: effective weight delta/||r|| on H and g.  Both r
+            # and J get sqrt(w), so H = w J'S'SJ and g = w J'S'Sr — scaling
+            # both by w itself would square the kernel
             rw = jnp.einsum("eij,ej->ei", sqrt_info, r)
             rn = jnp.linalg.norm(rw, axis=-1)
-            w_edge = w_edge * jnp.where(rn > huber_delta,
-                                        huber_delta / jnp.maximum(rn, 1e-9),
-                                        1.0)
+            w_edge = w_edge * jnp.sqrt(jnp.where(
+                rn > huber_delta, huber_delta / jnp.maximum(rn, 1e-9), 1.0))
         rW = jnp.einsum("eij,ej->ei", sqrt_info, r) * w_edge[:, None]
         JaW = sqrt_info @ Ja * w_edge[:, None, None]
         JbW = sqrt_info @ Jb * w_edge[:, None, None]
@@ -166,9 +167,15 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
         chi2 = jnp.sum(rW * rW)
         return (t_new, q_new), chi2
 
-    (t, q), chi2s = jax.lax.scan(step, (graph.node_t, graph.node_q),
-                                 None, length=iterations)
-    return t, q, chi2s[-1]
+    (t, q), _ = jax.lax.scan(step, (graph.node_t, graph.node_q),
+                             None, length=iterations)
+    # final chi2 at the RETURNED poses (the per-step value is pre-update)
+    r, _, _ = jax.vmap(_edge_res_and_jac)(
+        t[graph.edge_i], q[graph.edge_i], t[graph.edge_j], q[graph.edge_j],
+        graph.edge_t, graph.edge_q)
+    rW = jnp.einsum("eij,ej->ei", sqrt_info, r) \
+        * graph.edge_mask.astype(jnp.float32)[:, None]
+    return t, q, jnp.sum(rW * rW)
 
 
 def wrong_edge_check(graph: PoseGraph, node_t, node_q,
@@ -202,9 +209,6 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
     Edge count must be padded to a multiple of the mesh size (use
     ``edge_mask`` for the padding).  Returns (node_t, node_q, chi2).
     """
-    import numpy as _np
-    from jax.sharding import PartitionSpec as P
-
     m = graph.num_nodes
     sqrt_info = _sqrt_psd(graph.edge_info)
 
@@ -245,7 +249,12 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
 
         (t, q), chi2s = jax.lax.scan(one_iter, (node_t, node_q), None,
                                      length=iterations)
-        return t, q, chi2s[-1]
+        # final chi2 at the returned poses (per-step chi2 is pre-update)
+        r, _, _ = jax.vmap(_edge_res_and_jac)(
+            t[edge_i], q[edge_i], t[edge_j], q[edge_j], edge_t, edge_q)
+        rW = jnp.einsum("eij,ej->ei", sqrt_i, r) \
+            * edge_mask.astype(jnp.float32)[:, None]
+        return t, q, jax.lax.psum(jnp.sum(rW * rW), axis)
 
     from jax.sharding import PartitionSpec
     P_ = PartitionSpec

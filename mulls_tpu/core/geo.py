@@ -183,12 +183,30 @@ def utm_inverse(easting, northing, zone: int, south: bool = False
             np.degrees(np.squeeze(lam)) + lon0)
 
 
+def gnss_trajectory_to_poses(records) -> np.ndarray:
+    """[N] iterable of (lat, lon, alt, roll, pitch, yaw) degree records ->
+    [N, 4, 4] poses.  The UTM zone is LOCKED from the first record so a
+    trajectory crossing a 6-degree zone boundary stays in one continuous
+    projection (per-record zones would make the easting jump ~500 km at
+    the boundary).  Mirrors the reference's fixed `+zone=51` choice
+    (`geo_tran.h:72`) without hard-coding the zone."""
+    records = list(records)
+    if not records:
+        return np.zeros((0, 4, 4))
+    zone = utm_zone(records[0][1])
+    return np.stack([gnss_to_pose(*r, zone=zone) for r in records])
+
+
 def gnss_to_pose(lat_deg: float, lon_deg: float, alt: float,
                  roll_deg: float, pitch_deg: float, yaw_deg: float,
                  zone: int = None) -> np.ndarray:
     """6-DoF pose from an OXTS/GNSS record — UTM-projected translation +
     Rz(yaw) Ry(pitch) Rx(roll) rotation, parity with
-    `GeoTransform::GetTransform` (`geo_tran.h:28-118`)."""
+    `GeoTransform::GetTransform` (`geo_tran.h:28-118`).
+
+    For trajectories use :func:`gnss_trajectory_to_poses` (or pass an
+    explicit ``zone``): the default picks the zone from THIS record's
+    longitude, which is discontinuous across zone boundaries."""
     roll = math.radians(roll_deg)
     pitch = math.radians(pitch_deg)
     yaw = math.radians(yaw_deg)

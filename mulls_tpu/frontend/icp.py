@@ -265,8 +265,7 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
             if strategy[2] == "1":
                 w = w * _weight_by_dist_adaptive(tdist, it, cfg)
             if strategy[3] == "1":
-                w = w * _weight_by_intensity(pi + 1e-4, qi + 1e-4,
-                                             cfg.intensity_scale)
+                w = w * _weight_by_intensity(pi, qi, cfg.intensity_scale)
             if _PLANAR[name]:
                 d = jnp.sum(tn * (q - p), axis=-1)
                 if strategy[1] == "1":

@@ -45,8 +45,10 @@ class GroundResult(NamedTuple):
 
 
 def _min_pool3(grid: jnp.ndarray) -> jnp.ndarray:
-    """3x3 min over a [G, G] grid, interior cells only (border cells keep
-    their own value, parity with `cfilter.hpp:1793-1810`)."""
+    """3x3 min over a [G, G] grid, interior cells only.  Border cells keep
+    their own value — exact reference behavior: `cfilter.hpp:1785` seeds
+    ``neighbor_min_z = min_z`` and the neighbor sweep `:1798-1810` skips
+    border grids, so their height test trivially passes there too."""
     g = jnp.pad(grid, 1, constant_values=_BIG)
     m = grid
     for di in (-1, 0, 1):
@@ -125,7 +127,11 @@ def fast_ground_filter(
     p_neigh_min_z = flat(neigh_min_z)[jnp.clip(cell, 0, num_cells - 1)]
     p_cell_dist = flat(cell_dist.reshape(-1))[jnp.clip(cell, 0, num_cells - 1)]
 
-    pre_unground = mask & (z > non_ground_z)  # `cfilter.hpp:1740-1754`
+    # pre-gate unground (`cfilter.hpp:1740-1754`); points outside the
+    # static grid window also go unground (the reference's grid always
+    # covers the full cloud bbx, so no point is ever dropped for being
+    # out of range — our window is static, the overflow must not vanish)
+    pre_unground = mask & ((z > non_ground_z) | ~in_grid)
     band = below & p_cell_ok & p_cell_ground & ((z - p_min_z) < cfg.gf_in_grid_h_thre)
     in_cell_unground = below & p_cell_ok & p_cell_ground & ~band
     nonground_cell = below & p_cell_ok & ~p_cell_ground
@@ -203,16 +209,24 @@ def fast_ground_filter(
             p1 = pick_per_cell(hyp_keys[3 * h])
             p2 = pick_per_cell(hyp_keys[3 * h + 1])
             p3 = pick_per_cell(hyp_keys[3 * h + 2])
-            nrm_h = jnp.cross(p2 - p1, p3 - p1)
-            nrm_h = nrm_h / jnp.maximum(
-                jnp.linalg.norm(nrm_h, axis=-1, keepdims=True), 1e-9)
+            cross = jnp.cross(p2 - p1, p3 - p1)
+            cn = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+            nrm_h = cross / jnp.maximum(cn, 1e-9)
+            # degeneracy gate: duplicate/collinear samples give a ~zero
+            # cross product whose "plane" would count every point as an
+            # inlier at distance 0 — kill those hypotheses outright
+            ok_h = cn[:, 0] > 1e-6
             d = jnp.abs(jnp.sum((xyz - p1[cell_of]) * nrm_h[cell_of], -1))
-            inl = gm & (d <= ransac_thre)
-            cnt_h = jax.ops.segment_sum(inl.astype(jnp.float32), gcell,
-                                        num_segments=num_cells + 1)[:num_cells]
+            inl = gm & (d <= ransac_thre) & ok_h[cell_of]
+            cnt_h = jnp.where(ok_h, jax.ops.segment_sum(
+                inl.astype(jnp.float32), gcell,
+                num_segments=num_cells + 1)[:num_cells], -1.0)
             better = cnt_h > best_cnt
             best_cnt = jnp.where(better, cnt_h, best_cnt)
             best_inl = jnp.where(better[cell_of], inl, best_inl)
+        # cells where every hypothesis degenerated fall back to the full
+        # in-band set (plain LS plane, the pre-RANSAC behavior)
+        best_inl = jnp.where((best_cnt > 0.0)[cell_of], best_inl, gm)
 
         # LS refit on the per-cell consensus set (optimizeCoefficients)
         gm = best_inl

@@ -250,3 +250,48 @@ def test_ground_normal_ransac_robust_to_outliers(rng):
     expect = np.array([-0.08, 0.0, 1.0])
     expect /= np.linalg.norm(expect)
     assert abs(float(nrm @ expect)) > 0.999, nrm
+
+
+def test_ground_normal_ransac_small_cells(rng):
+    """Degeneracy regression: with ~12-point cells, duplicate picks give
+    zero-cross 'planes' that must be gated out, or outliers sweep the
+    consensus vote."""
+    import jax
+    import jax.numpy as jnp
+    from mulls_tpu.config import GroundFilterConfig, ShapeConfig
+    from mulls_tpu.ops.ground import fast_ground_filter
+
+    g = 8
+    per = 12
+    cell_sz = 2.5
+    pts, out_flags = [], []
+    for r in range(g):
+        for c in range(g):
+            x = (c + rng.uniform(0.05, 0.95, per)) * cell_sz
+            y = (r + rng.uniform(0.05, 0.95, per)) * cell_sz
+            z = 0.01 * rng.normal(size=per)
+            o = rng.uniform(size=per) < 0.25
+            z = np.where(o, z + rng.uniform(0.15, 0.22, per), z)
+            pts.append(np.stack([x, y, z], -1))
+            out_flags.append(o)
+    xyz = jnp.asarray(np.concatenate(pts), jnp.float32)
+    out = np.concatenate(out_flags)
+    n = xyz.shape[0]
+    cfg = GroundFilterConfig(gf_grid_size=cell_sz, gf_in_grid_h_thre=0.3,
+                             gf_neigh_grid_h_thre=1.5, gf_max_h=10.0,
+                             ground_normal_method=3, gf_grid_min_pt_num=6,
+                             dist_inverse_sampling_method=0)
+    shapes = ShapeConfig(n_raw=n, grid_dim=g)
+    res = fast_ground_filter(xyz, jnp.zeros(n), jnp.ones(n, bool), cfg,
+                             shapes, jax.random.key(1))
+    gmask = np.asarray(res.is_ground)
+    inlier_keep = (gmask & ~out).sum() / max((~out).sum(), 1)
+    outlier_keep = (gmask & out).sum() / max(out.sum(), 1)
+    assert inlier_keep > 0.7, inlier_keep
+    # max-consensus RANSAC on 12-point cells cannot fully separate gently
+    # tilted planes that pass within dist_thre (PCL's SAC_RANSAC has the
+    # same ambiguity); the regression here is against the DEGENERATE-
+    # hypothesis failure mode, where ~56% of outliers leaked because a
+    # zero-normal "plane" counted every point as an inlier
+    assert outlier_keep < 0.35, outlier_keep
+    assert outlier_keep < inlier_keep / 2.0
