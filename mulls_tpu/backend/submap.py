@@ -201,6 +201,7 @@ class SlamBackend:
             info = np.asarray(res.information, np.float64)
             # overwrite odometry with the refined estimate
             b.pose = a.pose @ T_adj_ref
+            b.compute_bounds()
             T_adj = T_adj_ref
         else:
             info = np.eye(6) * (1.0 / max(sigma, 0.05) ** 2
@@ -301,6 +302,7 @@ class SlamBackend:
             if s_cfg.transfer_correct_reg_tran_on:
                 transfer_T = np.asarray(res.transform, np.float64)
                 b.pose = old.pose @ transfer_T
+                b.compute_bounds()
 
         if new_reg_edges == 0:
             return None
@@ -376,5 +378,10 @@ class SlamBackend:
         poses[:, :3, 3] = t
         for s, p in zip(self.submaps, poses):
             s.pose = p.copy()
+            # keep world-frame center/bbx in sync with the corrected pose —
+            # later loop-candidate gates compare them against NEW submaps
+            # (`update_optimized_nodes` recomputes bbx, graph_optimizer
+            # .cpp:778-798)
+            s.compute_bounds()
         self.optimized = poses
         return poses

@@ -82,6 +82,7 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
                     for n in ("ground", "pillar", "facade", "beam", "roof"))
     removal_on = (jnp.bool_(map_cfg.map_based_dynamic_removal_on)
                   & (map_count > map_cfg.local_map_max_pt_num // 5))
+    # (callers pass an already speed-scaled gate; the floor lives HERE only)
     dist_max = jnp.maximum(dynamic_dist_max, map_cfg.dynamic_dist_thre_min + 0.1)
 
     new_clouds = {}
@@ -100,8 +101,11 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
         rng = jnp.linalg.norm(merged.xyz, axis=-1)
         merged = merged.replace(
             mask=merged.mask & (rng < map_cfg.local_map_radius))
-        # re-budget to the static cap, new points first (they are the
-        # freshest observation; the reference random-downsamples uniformly)
+        # re-budget to the static cap with a SOFT preference for the new
+        # frame's points (+0.5 on a uniform[0,1) score: an old point still
+        # outranks a fresh one 12.5% of the time).  Deliberate deviation
+        # from the reference's uniform re-budget (`map_manager.cpp:73-86`)
+        # so fresh coverage is rarely evicted wholesale
         cap = caps.capacity(name)
         fresh = jnp.concatenate([
             jnp.zeros((old.capacity,), jnp.float32),

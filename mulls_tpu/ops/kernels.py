@@ -127,14 +127,18 @@ def nn_pallas(q_xyz: jnp.ndarray, q_mask: jnp.ndarray, p_xyz: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def _moments_kernel(close_frac_ref, q_ref, pt_ref, p2_ref, r2_ref, f_ref,
-                    s_ref, c_ref):
+                    s_ref, c_ref=None):
+    """c_ref=None compiles the single-matmul variant: the hot PCA pass
+    needs no close-neighborhood sums, so the second [TQ,TP]@[TP,C] matmul
+    and its HBM output are elided at trace time."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
-        c_ref[:] = jnp.zeros(c_ref.shape, jnp.float32)
+        if c_ref is not None:
+            c_ref[:] = jnp.zeros(c_ref.shape, jnp.float32)
 
     q = q_ref[:]
     q2 = jnp.sum(q * q, axis=1)
@@ -145,16 +149,18 @@ def _moments_kernel(close_frac_ref, q_ref, pt_ref, p2_ref, r2_ref, f_ref,
     adj = (d2 <= r2).astype(jnp.float32)
     s_ref[:] += jnp.dot(adj, f_ref[:], preferred_element_type=jnp.float32)
 
-    cf = close_frac_ref[0]
-    cadj = adj * (d2 <= cf * r2).astype(jnp.float32)
-    c_ref[:] += jnp.dot(cadj, f_ref[:], preferred_element_type=jnp.float32)
+    if c_ref is not None:
+        cf = close_frac_ref[0]
+        cadj = adj * (d2 <= cf * r2).astype(jnp.float32)
+        c_ref[:] += jnp.dot(cadj, f_ref[:],
+                            preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "with_close"))
 def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
                    p_mask: jnp.ndarray, r2: jnp.ndarray,
                    feat_stack: jnp.ndarray, close_fraction_sq: jnp.ndarray,
-                   interpret: bool = False):
+                   interpret: bool = False, with_close: bool = True):
     """Fused ``adj @ feat_stack`` neighborhood sums.
 
     Args:
@@ -181,7 +187,10 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
     r2p = _pad_to(r2.astype(jnp.float32), qp)
 
     grid = (qp // TQ, pp // TP)
-    sums, csums = pl.pallas_call(
+    out_spec = pl.BlockSpec((TQ, cp), lambda i, j, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((qp, cp), jnp.float32)
+    outs = pl.pallas_call(
         _moments_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -198,19 +207,13 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
                 pl.BlockSpec((TP, cp), lambda i, j, *_: (j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((TQ, cp), lambda i, j, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TQ, cp), lambda i, j, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=[out_spec] * (2 if with_close else 1),
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((qp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((qp, cp), jnp.float32),
-        ],
+        out_shape=[out_shape] * (2 if with_close else 1),
         interpret=interpret,
     )(jnp.asarray([close_fraction_sq], jnp.float32),
       q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ), f)
+    sums = outs[0]
+    csums = outs[1] if with_close else jnp.zeros_like(outs[0])
 
     return sums[:qn, :cn], csums[:qn, :cn]

@@ -103,7 +103,8 @@ def radius_moments(
         sums, csums = moments_pallas(
             q_xyz, p_xyz, p_mask, r2, feat_stack,
             jnp.float32(close_fraction_sq
-                        if close_fraction_sq is not None else 0.0))
+                        if close_fraction_sq is not None else 0.0),
+            with_close=close_fraction_sq is not None)
         qmask_f = q_mask.astype(jnp.float32)[:, None]
         sums = sums * qmask_f
         out = {

@@ -66,7 +66,7 @@ class StepOut:
     code: jnp.ndarray
     confidence: jnp.ndarray
     iterations: jnp.ndarray
-    # everything above packed as one [21] f32 vector so a whole run's
+    # everything above packed as one [16] f32 vector so a whole run's
     # results come back in a single device->host transfer (each D2H pays a
     # full link round trip; per-field fetches dominated wall-clock)
     vec: jnp.ndarray
@@ -185,7 +185,11 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
                                 res.transform),
             sigma=jnp.where(use_s2s & s2s_ok, s2s.sigma, res.sigma),
             process_code=jnp.where(use_s2s & s2s_ok, s2s.process_code,
-                                   res.process_code))
+                                   res.process_code),
+            confidence=jnp.where(use_s2s & s2s_ok, s2s.confidence,
+                                 res.confidence),
+            iterations=jnp.where(use_s2s & s2s_ok, s2s.iterations,
+                                 res.iterations))
 
     failed = res.process_code < 0
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -201,8 +205,7 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
 
     # dynamic-object gate distance scales with per-frame motion
     # (`mulls_slam.cpp:439`)
-    dyn_max = jnp.maximum(1.5 * jnp.linalg.norm(T_rel[:3, 3]),
-                          cfg.map.dynamic_dist_thre_min + 0.1)
+    dyn_max = 1.5 * jnp.linalg.norm(T_rel[:3, 3])  # floored in update_local_map
     local_map = update_local_map(state.local_map, frame, T_rel, dyn_max,
                                  cfg.map, k_map)
 
@@ -253,7 +256,10 @@ def _stack_packed(packed: List[PackedRawCloud]) -> PackedRawCloud:
         xyz_q=np.stack([p.xyz_q for p in packed]),
         intensity_q=np.stack([p.intensity_q for p in packed]),
         ts_q=np.stack([p.ts_q for p in packed]),
-        n=np.asarray([p.n for p in packed], np.int32))
+        n=np.asarray([p.n for p in packed], np.int32),
+        # Semantic-KITTI labels must ride along (all-or-nothing per run)
+        label=(np.stack([p.label for p in packed])
+               if packed[0].label is not None else None))
 
 
 def prefetch_segments(dataset, segment: int, depth: int = 2):
@@ -275,27 +281,42 @@ def prefetch_segments(dataset, segment: int, depth: int = 2):
                  if hasattr(dataset, "packed_segments") else None)
 
     def worker():
+        def put(item) -> bool:
+            """Bounded put that honours the stop event (an abandoned
+            consumer must not pin this thread in q.put forever)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
         try:
             if native_pf is not None:
                 with native_pf:
                     for k, batch in native_pf:
                         if stop.is_set():
                             return
-                        q.put((k, jax.device_put(PackedRawCloud(
-                            xyz_q=batch["xyz_q"],
-                            intensity_q=batch["intensity_q"],
-                            ts_q=batch["ts_q"], n=batch["n"]))))
-                q.put(None)
+                        if not put((k, jax.device_put(PackedRawCloud(
+                                xyz_q=batch["xyz_q"],
+                                intensity_q=batch["intensity_q"],
+                                ts_q=batch["ts_q"], n=batch["n"])))):
+                            return
+                put(None)
                 return
             buf: List[PackedRawCloud] = []
             it = iter(dataset) if hasattr(dataset, "__iter__") \
                 else (dataset[i] for i in range(len(dataset)))
+
             for frame in it:
                 if stop.is_set():
                     return
                 buf.append(pack_raw_host(frame))
                 if len(buf) == segment:
-                    q.put((len(buf), jax.device_put(_stack_packed(buf))))
+                    if not put((len(buf),
+                                jax.device_put(_stack_packed(buf)))):
+                        return
                     buf = []
             if buf:
                 # pad the tail by repeating the last frame so every dispatch
@@ -303,10 +324,16 @@ def prefetch_segments(dataset, segment: int, depth: int = 2):
                 # consumer discards the padded outputs
                 k = len(buf)
                 buf = buf + [buf[-1]] * (segment - k)
-                q.put((k, jax.device_put(_stack_packed(buf))))
-            q.put(None)
+                if not put((k, jax.device_put(_stack_packed(buf)))):
+                    return
+            put(None)
         except BaseException as e:  # surface in consumer
-            q.put(e)
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.2)
+                    return
+                except _queue.Full:
+                    continue
 
     t = _threading.Thread(target=worker, daemon=True)
     t.start()
@@ -330,9 +357,6 @@ class OdometryPipeline:
     def __init__(self, cfg: MullsConfig, segment: int = 16):
         self.cfg = cfg
         self.segment = segment
-
-    def _to_raw(self, frame: dict) -> PackedRawCloud:
-        return jax.device_put(pack_raw_host(frame))
 
     def run(self, dataset, progress: bool = False,
             profile: bool = False) -> OdometryResult:

@@ -66,3 +66,29 @@ def test_nav_helpers():
     assert abs(v - 5.0) < 1e-6
     t, r = nav.tran_rot_magnitude(out)
     assert abs(t - np.sqrt(1.0 + 0.01 ** 2)) < 1e-9 and r < 1e-6
+
+
+def test_labels_survive_segment_stacking():
+    """Regression: _stack_packed must carry Semantic-KITTI labels, or the
+    pipeline silently runs without semantic assistance."""
+    import jax
+    import numpy as np
+    from mulls_tpu.core.cloud import pack_raw_host, unpack_raw
+    from mulls_tpu.pipeline.odometry import _stack_packed
+
+    rng = np.random.default_rng(0)
+    def frame():
+        n = 256
+        return {"xyz": rng.uniform(-10, 10, (n, 3)).astype(np.float32),
+                "intensity": np.zeros(n, np.float32),
+                "ts_ratio": np.zeros(n, np.float32),
+                "mask": np.ones(n, bool),
+                "label": rng.integers(0, 260, n).astype(np.int32)}
+
+    packed = [pack_raw_host(frame()) for _ in range(3)]
+    assert packed[0].label is not None
+    batch = _stack_packed(packed)
+    assert batch.label is not None and batch.label.shape == (3, 256)
+    raw0 = unpack_raw(jax.tree.map(lambda x: x[0], batch))
+    assert raw0.label is not None
+    assert int(np.asarray(raw0.label).max()) <= 260
