@@ -67,12 +67,14 @@ def coarse_reg_ransac(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
                       min_inlier_count: int = 8) -> CoarseRegResult:
     """src/tgt: [K, 3] putative correspondence pairs, mask: [K]."""
     k = src.shape[0]
-    valid_idx = jnp.where(mask, jnp.arange(k), -1)
-    # sample 3 distinct valid correspondences per hypothesis
+    # sample 3 valid correspondences per hypothesis; duplicate picks give
+    # a rank-deficient Kabsch, so such hypotheses are voted out below
     prob = mask.astype(jnp.float32)
     prob = prob / jnp.maximum(prob.sum(), 1.0)
     picks = jax.random.choice(key, k, (num_hypotheses, 3), replace=True,
                               p=prob)
+    distinct = ((picks[:, 0] != picks[:, 1]) & (picks[:, 0] != picks[:, 2])
+                & (picks[:, 1] != picks[:, 2]))
     s3 = src[picks]  # [M, 3, 3]
     t3 = tgt[picks]
     w3 = jnp.ones((num_hypotheses, 3), jnp.float32)
@@ -81,7 +83,7 @@ def coarse_reg_ransac(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
     proj = jnp.einsum("mij,kj->mki", R, src) + t[:, None, :]
     d2 = jnp.sum((proj - tgt[None]) ** 2, -1)
     inl = (d2 <= inlier_thre ** 2) & mask[None, :]
-    counts = jnp.sum(inl, axis=1)
+    counts = jnp.where(distinct, jnp.sum(inl, axis=1), -1)
     best = jnp.argmax(counts)
     # refinement on the best consensus set
     w = inl[best].astype(jnp.float32)
@@ -149,7 +151,9 @@ def coarse_reg_gnc(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
     # estimate t as component-wise median of q - R s over all corrs, then
     # count inliers and polish with Kabsch on them
     diff = tgt - src @ R.T
-    t_est = jnp.median(jnp.where(mask[:, None], diff, jnp.nan), axis=0)
+    # nanmedian: plain median would propagate the NaNs of masked rows and
+    # zero the translation estimate whenever any correspondence is invalid
+    t_est = jnp.nanmedian(jnp.where(mask[:, None], diff, jnp.nan), axis=0)
     t_est = jnp.nan_to_num(t_est)
     d2 = jnp.sum((src @ R.T + t_est - tgt) ** 2, -1)
     inl = (d2 <= (2.0 * noise_bound) ** 2) & mask

@@ -75,7 +75,7 @@ def match_ncc(target: VertexDescriptors, source: VertexDescriptors,
     def body(carry, x):
         cnt_t, cnt_s = carry
         t, s, v = x
-        ok = (v < _BIG) & (cnt_t[t] <= max_corr_num) & (cnt_s[s] <= max_corr_num)
+        ok = (v < _BIG) & (cnt_t[t] < max_corr_num) & (cnt_s[s] < max_corr_num)
         cnt_t = cnt_t.at[t].add(jnp.where(ok, 1, 0))
         cnt_s = cnt_s.at[s].add(jnp.where(ok, 1, 0))
         return (cnt_t, cnt_s), ok

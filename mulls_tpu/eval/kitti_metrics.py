@@ -35,10 +35,9 @@ def _trajectory_distances(poses: np.ndarray) -> np.ndarray:
 
 
 def _last_frame(dist: np.ndarray, first: int, length: float) -> int:
+    # side='right' already yields the first index strictly greater than
+    # the target (`odom_error_compute.h:57` semantics)
     idx = np.searchsorted(dist, dist[first] + length, side="right")
-    # reference requires strictly greater (`odom_error_compute.h:57`)
-    while idx < len(dist) and dist[idx] <= dist[first] + length:
-        idx += 1
     return idx if idx < len(dist) else -1
 
 

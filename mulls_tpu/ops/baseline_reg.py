@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from mulls_tpu.core import se3
-
-_PRIMES = (73856093, 19349663, 83492791)
+from mulls_tpu.ops.voxel import hash_ijk as _hash_ijk
 
 
 class VoxelTable(NamedTuple):
@@ -39,12 +38,6 @@ class VoxelTable(NamedTuple):
     inv_cov: jnp.ndarray    # [T, 3, 3] regularized inverse covariance
     cov: jnp.ndarray        # [T, 3, 3]
     resolution: jnp.ndarray
-
-
-def _hash_ijk(ijk: jnp.ndarray, table_size: int) -> jnp.ndarray:
-    h = (ijk[..., 0] * _PRIMES[0]) ^ (ijk[..., 1] * _PRIMES[1]) \
-        ^ (ijk[..., 2] * _PRIMES[2])
-    return (h & (table_size - 1)).astype(jnp.int32)
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -93,7 +86,10 @@ def build_voxel_table(xyz: jnp.ndarray, mask: jnp.ndarray,
         lam_r = jnp.concatenate([jnp.ones_like(lam[:, :2]),
                                  jnp.full_like(lam[:, 2:], 1e-3)], axis=-1)
     else:
-        lam_r = jnp.maximum(lam / lam0, 1e-2)
+        # NDT: floor eigenvalues at 1e-2 of the largest, PRESERVING the
+        # absolute scale (`voxel_grid_covariance_omp` semantics) — dividing
+        # by lam0 would make every voxel's spread identical
+        lam_r = jnp.maximum(lam, 1e-2 * lam0)
     cov_r = jnp.einsum("tik,tk,tjk->tij", V, lam_r, V)
     inv = _inv3x3(cov_r + 1e-6 * jnp.eye(3))
     valid = count >= min_points
@@ -238,8 +234,8 @@ def vgicp_register(s_xyz: jnp.ndarray, s_mask: jnp.ndarray,
                           iterations=it)
 
 
-def point_covariances(xyz: jnp.ndarray, mask: jnp.ndarray, radius: float,
-                      mode: str = "gicp") -> jnp.ndarray:
+def point_covariances(xyz: jnp.ndarray, mask: jnp.ndarray, radius: float
+                      ) -> jnp.ndarray:
     """Per-point neighborhood covariances for the GICP source side,
     plane-regularized like fast_vgicp (eigenvalues -> (1, 1, 1e-3))."""
     from mulls_tpu.ops import neighbors as nbr

@@ -29,14 +29,14 @@ def non_max_suppress(xyz: jnp.ndarray, salience: jnp.ndarray,
     mirrors the reference's stable sort order."""
     n = xyz.shape[0]
     r2 = radius * radius
-    idx = jnp.arange(n, dtype=jnp.float32)
+    idx = jnp.arange(n, dtype=jnp.int32)  # int: f32 loses exactness >2^24
     # strict priority: larger salience wins; ties -> smaller index wins
     prio = jnp.where(mask, salience, -jnp.inf)
 
     npad = -n % chunk
     xyz_p = jnp.pad(xyz, ((0, npad), (0, 0)))
     prio_p = jnp.pad(prio, (0, npad), constant_values=-jnp.inf)
-    idx_p = jnp.pad(idx, (0, npad), constant_values=jnp.inf)
+    idx_p = jnp.pad(idx, (0, npad), constant_values=jnp.iinfo(jnp.int32).max)
 
     def stronger_neighbor_exists(keep):
         keep_f = keep & mask

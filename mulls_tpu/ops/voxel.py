@@ -19,6 +19,15 @@ import jax
 import jax.numpy as jnp
 
 
+def hash_ijk(ijk: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """3D integer-cell hash (Teschner et al. primes), masked to a
+    power-of-two table.  Shared by the voxel downsampler here and the
+    NDT/VGICP voxel tables (`ops/baseline_reg.py`)."""
+    h = (ijk[..., 0] * 73856093) ^ (ijk[..., 1] * 19349663) \
+        ^ (ijk[..., 2] * 83492791)
+    return (h & (table_size - 1)).astype(jnp.int32)
+
+
 def dist_filter_mask(xyz: jnp.ndarray, mask: jnp.ndarray,
                      min_dist: float, max_dist: float,
                      use_z: bool = True) -> jnp.ndarray:
@@ -58,9 +67,7 @@ def voxel_downsample_mask(xyz: jnp.ndarray, mask: jnp.ndarray,
     """
     n = xyz.shape[0]
     ijk = jnp.floor(xyz / resolution).astype(jnp.int32)
-    # 3D integer hash (Teschner et al. primes), masked to table
-    h = (ijk[..., 0] * 73856093) ^ (ijk[..., 1] * 19349663) ^ (ijk[..., 2] * 83492791)
-    h = (h & (table_size - 1)).astype(jnp.int32)
+    h = hash_ijk(ijk, table_size)
     idx = jnp.arange(n, dtype=jnp.int32)
     slot_val = jnp.where(mask, idx, n)
     table = jnp.full((table_size,), n, jnp.int32)
