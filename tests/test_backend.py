@@ -176,3 +176,32 @@ def test_wrong_edge_check(rng):
     bad = np.asarray(bad)
     assert bad[0]
     assert not bad[1:].any()
+
+
+def test_gnc_with_partial_mask_large_translation(rng):
+    """Regression: with ANY masked-out row, jnp.median over NaN-filled
+    rows used to zero the translation estimate — catastrophic for loop
+    closures whose true translation exceeds the inlier gate."""
+    src, tgt, T_gt, _ = _corr_set(rng, n=300, outlier_frac=0.4)
+    # large translation: well beyond 2 * noise_bound
+    T_big = T_gt.copy()
+    T_big[:3, 3] += [15.0, -8.0, 2.0]
+    tgt_big = np.asarray(tgt) + np.asarray([15.0, -8.0, 2.0],
+                                           np.float32)
+    mask = np.ones(len(src), bool)
+    mask[rng.choice(len(src), 120, replace=False)] = False  # 40% invalid
+    res = cr.coarse_reg_gnc(src, jnp.asarray(tgt_big), jnp.asarray(mask),
+                            jax.random.key(0), noise_bound=0.05)
+    assert bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.transform)[:3, 3],
+                               T_big[:3, 3], atol=0.1)
+
+
+def test_ransac_with_partial_mask(rng):
+    src, tgt, T_gt, _ = _corr_set(rng, n=300, outlier_frac=0.5)
+    mask = np.ones(len(src), bool)
+    mask[rng.choice(len(src), 100, replace=False)] = False
+    res = cr.coarse_reg_ransac(src, tgt, jnp.asarray(mask),
+                               jax.random.key(1), inlier_thre=0.1)
+    assert bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.transform), T_gt, atol=0.05)
