@@ -98,6 +98,12 @@ def main(argv=None) -> int:
     p.add_argument("--timing_file", default=None)
     p.add_argument("--plot_dir", default=None)
     p.add_argument("--json_out", default=None)
+    p.add_argument("--point_cloud_folder", default=None,
+                   help="replay: re-assemble the map from the estimated "
+                        "poses + scan folder (`test/vis_slam.cpp` role)")
+    p.add_argument("--map_pcd_out", default=None)
+    p.add_argument("--map_bev_out", default=None)
+    p.add_argument("--map_voxel_size", type=float, default=0.25)
     args = p.parse_args(argv)
 
     est = kitti_io.read_kitti_poses(args.est_pose_file)
@@ -120,6 +126,18 @@ def main(argv=None) -> int:
         report["mean_ms_per_frame"] = float(timing.sum(1).mean())
     if args.plot_dir:
         plot_outputs(gt, est, errs, timing, args.plot_dir)
+    if args.point_cloud_folder and (args.map_pcd_out or args.map_bev_out):
+        # post-hoc replay: rebuild the registered map from the pose file,
+        # the headless stand-in for vis_slam's re-rendering
+        from mulls_tpu.io.dataset import FolderDataset
+        from mulls_tpu.mapping.assembly import (accumulate_map,
+                                                write_map_outputs)
+        ds = FolderDataset(args.point_cloud_folder, n_raw=1 << 17)
+        pts = accumulate_map(ds, est[:len(ds)],
+                             voxel_res=args.map_voxel_size)
+        write_map_outputs(pts, args.map_pcd_out, args.map_bev_out)
+        print(f"[eval] replayed map: {len(pts)} points")
+        report["map_points"] = int(len(pts))
     if args.json_out:
         os.makedirs(os.path.dirname(args.json_out) or ".", exist_ok=True)
         with open(args.json_out, "w") as f:

@@ -191,3 +191,29 @@ def test_pose_quat_roundtrip(tmp_path, rng):
     kio.write_pose_quat(path, poses)
     back = kio.read_pose_quat(path)
     np.testing.assert_allclose(back, poses, atol=1e-5)
+
+
+def test_hesai_h5_roundtrip(tmp_path):
+    """HESAI *.h5 scan reading (`h5_io.hpp` parity): x/y/z/intensity/ts
+    datasets in a [rows, cols] range-image layout."""
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+    from mulls_tpu.io.dataset import read_point_cloud
+
+    rng = np.random.default_rng(0)
+    shape = (32, 64)
+    x = rng.uniform(-50, 50, shape).astype(np.float32)
+    y = rng.uniform(-50, 50, shape).astype(np.float32)
+    z = rng.uniform(-3, 10, shape).astype(np.float32)
+    inten = rng.uniform(0, 255, shape).astype(np.float32)
+    ts = np.linspace(1e9, 1e9 + 0.1, x.size).reshape(shape)
+    p = tmp_path / "scan.h5"
+    with h5py.File(p, "w") as f:
+        f["x"], f["y"], f["z"] = x, y, z
+        f["intensity"] = inten
+        f["ts"] = ts
+    d = read_point_cloud(str(p))
+    assert d["xyz"].shape == (x.size, 3)
+    np.testing.assert_allclose(d["xyz"][:, 0], x.ravel())
+    np.testing.assert_allclose(d["intensity"], inten.ravel())
+    assert d["ts_ratio"].min() == 0.0 and abs(d["ts_ratio"].max() - 1.0) < 1e-6
