@@ -62,7 +62,9 @@ class PackedRawCloud:
 
     xyz_q: jnp.ndarray  # [N, 3] int16, metres * XYZ_SCALE
     intensity_q: jnp.ndarray  # [N] uint8
-    ts_q: jnp.ndarray  # [N] uint16, ratio * 65535
+    # uint16 ratio * 65535, or None — timestamps are only shipped when
+    # motion_compensation_method == 1 needs them (2/9 of the wire bytes)
+    ts_q: Optional[jnp.ndarray]
     n: jnp.ndarray  # [] int32 valid-point count (prefix is valid)
     label: Optional[jnp.ndarray] = None  # [N] uint16 semantic class id
 
@@ -71,16 +73,18 @@ class PackedRawCloud:
         return self.xyz_q.shape[-2]
 
 
-def pack_raw_host(data: dict) -> "PackedRawCloud":
-    """Pack a padded host frame dict (numpy arrays) into the wire format."""
+def pack_raw_host(data: dict, with_ts: bool = True) -> "PackedRawCloud":
+    """Pack a padded host frame dict (numpy arrays) into the wire format.
+    ``with_ts=False`` drops the timestamp plane (2 B/point) — correct
+    whenever the run does not use per-point sensor timestamps."""
     import numpy as np
     xyz = np.clip(np.rint(data["xyz"] * XYZ_SCALE), -32767, 32767)
     return PackedRawCloud(
         xyz_q=xyz.astype(np.int16),
         intensity_q=np.clip(np.rint(data["intensity"] * 255.0), 0, 255)
         .astype(np.uint8),
-        ts_q=np.clip(np.rint(data["ts_ratio"] * 65535.0), 0, 65535)
-        .astype(np.uint16),
+        ts_q=(np.clip(np.rint(data["ts_ratio"] * 65535.0), 0, 65535)
+              .astype(np.uint16) if with_ts else None),
         n=np.int32(data["mask"].sum()),
         label=(data["label"].astype(np.uint16)
                if "label" in data else None),
@@ -94,7 +98,9 @@ def unpack_raw(p: "PackedRawCloud") -> RawCloud:
     return RawCloud(
         xyz=p.xyz_q.astype(jnp.float32) * (1.0 / XYZ_SCALE),
         intensity=p.intensity_q.astype(jnp.float32) * (1.0 / 255.0),
-        ts_ratio=p.ts_q.astype(jnp.float32) * (1.0 / 65535.0),
+        ts_ratio=(p.ts_q.astype(jnp.float32) * (1.0 / 65535.0)
+                  if p.ts_q is not None
+                  else jnp.zeros((n,), jnp.float32)),
         mask=mask,
         label=(p.label.astype(jnp.int32) if p.label is not None else None),
     )

@@ -86,7 +86,9 @@ class MultiSeqPipeline:
                 frames = []
                 for j in range(i, i + k):
                     if j < lens[s]:
-                        last[s] = pack_raw_host(ds[j])
+                        last[s] = pack_raw_host(
+                            ds[j],
+                            with_ts=cfg.map.motion_compensation_method == 1)
                     frames.append(last[s])
                 frames += [frames[-1]] * (self.segment - k)
                 batches.append(jax.tree.map(lambda *xs: np.stack(xs),

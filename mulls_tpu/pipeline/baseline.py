@@ -145,7 +145,9 @@ class BaselinePipeline:
         state = init_baseline_state(cfg)
         vec_parts: List[jnp.ndarray] = []
         done = 0
-        for k, batch in prefetch_segments(dataset, self.segment):
+        for k, batch in prefetch_segments(
+                dataset, self.segment,
+                with_ts=self.cfg.map.motion_compensation_method == 1):
             state, vecs = baseline_scan(state, batch, cfg)
             vec_parts.append(vecs[:k])
             done += k

@@ -255,14 +255,16 @@ def _stack_packed(packed: List[PackedRawCloud]) -> PackedRawCloud:
     return PackedRawCloud(
         xyz_q=np.stack([p.xyz_q for p in packed]),
         intensity_q=np.stack([p.intensity_q for p in packed]),
-        ts_q=np.stack([p.ts_q for p in packed]),
+        ts_q=(np.stack([p.ts_q for p in packed])
+              if packed[0].ts_q is not None else None),
         n=np.asarray([p.n for p in packed], np.int32),
         # Semantic-KITTI labels must ride along (all-or-nothing per run)
         label=(np.stack([p.label for p in packed])
                if packed[0].label is not None else None))
 
 
-def prefetch_segments(dataset, segment: int, depth: int = 2):
+def prefetch_segments(dataset, segment: int, depth: int = 2,
+                      with_ts: bool = True):
     """Threaded host pipeline: decode -> pack -> stack ``segment`` frames ->
     one device_put, running ``depth`` segments ahead of the consumer so
     disk decode and H2D transfer overlap device compute (a role the
@@ -301,7 +303,8 @@ def prefetch_segments(dataset, segment: int, depth: int = 2):
                         if not put((k, jax.device_put(PackedRawCloud(
                                 xyz_q=batch["xyz_q"],
                                 intensity_q=batch["intensity_q"],
-                                ts_q=batch["ts_q"], n=batch["n"])))):
+                                ts_q=batch["ts_q"] if with_ts else None,
+                                n=batch["n"])))):
                             return
                 put(None)
                 return
@@ -312,7 +315,7 @@ def prefetch_segments(dataset, segment: int, depth: int = 2):
             for frame in it:
                 if stop.is_set():
                     return
-                buf.append(pack_raw_host(frame))
+                buf.append(pack_raw_host(frame, with_ts=with_ts))
                 if len(buf) == segment:
                     if not put((len(buf),
                                 jax.device_put(_stack_packed(buf)))):
@@ -367,7 +370,9 @@ class OdometryPipeline:
         timings = np.zeros((n, 4), np.float64) if profile else None
 
         done = 0
-        for k, batch in prefetch_segments(dataset, self.segment):
+        ship_ts = cfg.map.motion_compensation_method == 1
+        for k, batch in prefetch_segments(dataset, self.segment,
+                                          with_ts=ship_ts):
             t0 = time.perf_counter()
             state, vecs = slam_scan(state, batch, cfg)
             vec_parts.append(vecs[:k])

@@ -43,11 +43,11 @@ class SlamPipeline:
         return k
 
     def _to_raw(self, frame: dict) -> PackedRawCloud:
-        p = pack_raw_host(frame)
-        return PackedRawCloud(xyz_q=jnp.asarray(p.xyz_q),
-                              intensity_q=jnp.asarray(p.intensity_q),
-                              ts_q=jnp.asarray(p.ts_q),
-                              n=jnp.asarray(p.n))
+        # device_put the WHOLE pytree: rebuilding field-by-field once
+        # dropped the label plane (silently disabling semantic assist)
+        return jax.device_put(pack_raw_host(
+            frame,
+            with_ts=self.cfg.map.motion_compensation_method == 1))
 
     def run(self, dataset, progress: bool = False) -> OdometryResult:
         cfg = self.cfg
