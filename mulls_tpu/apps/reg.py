@@ -24,10 +24,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--appro_coordinate_file", default=None,
                    help="4x4 initial guess, whitespace separated")
     p.add_argument("--flagfile", default=None)
-    p.add_argument("--realtime_viewer_on", action="store_true",
+    p.add_argument("--realtime_viewer_on", type=int, nargs="?", const=1, default=0,
                    help="ignored (headless build)")
-    p.add_argument("--coarse_reg", choices=["gnc", "ransac", "fpfh", "none"],
-                   default="gnc")
+    p.add_argument("--coarse_reg",
+                   choices=["gnc", "ransac", "fpfh", "yaw4dof", "none"],
+                   default=None,
+                   help="coarse init: gnc (TEASER-style), ransac, fpfh "
+                        "(SAC-IA), yaw4dof (brute-force heading sweep, "
+                        "`cregistration.hpp:1584-1681`); default follows "
+                        "--is_global_reg/--teaser_on like the reference")
+    p.add_argument("--is_global_reg", type=int, default=1,
+                   help="allow coarse registration without a good initial "
+                        "guess (`test/mulls_reg.cpp:53`)")
     p.add_argument("--json_out", default=None)
     return p
 
@@ -58,6 +66,21 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
     stats = {}
     T0 = jnp.eye(4, dtype=jnp.float32) if init_guess is None \
         else jnp.asarray(init_guess, jnp.float32)
+    if coarse == "yaw4dof":
+        # brute-force heading sweep over the full circle; no keypoint
+        # matching needed (`mm_lls_icp_4dof_global`)
+        from mulls_tpu.frontend.icp import mm_lls_icp_4dof_global
+        res = mm_lls_icp_4dof_global(
+            fs.down, ft.full, cfg.reg,
+            heading_step_d=cfg.reg.heading_change_step_degree,
+            max_iter=cfg.reg.reg_max_iter_num_s2s)
+        stats.update({
+            "sigma": float(res.sigma),
+            "process_code": int(res.process_code),
+            "confidence": float(res.confidence),
+            "iterations": int(res.iterations),
+        })
+        return np.asarray(res.transform, np.float64), stats
     if coarse == "fpfh":
         # FPFH-SAC path (`cregistration.hpp:372-407`) on the downsampled
         # facade+ground geometry (normals come from the PCA pass)
@@ -129,7 +152,19 @@ def main(argv=None) -> int:
     if args.appro_coordinate_file:
         guess = np.loadtxt(args.appro_coordinate_file).reshape(4, 4)
 
-    T, stats = register_pair(cfg, tgt, src, coarse=args.coarse_reg,
+    # default coarse method follows the reference's switches: no coarse
+    # step unless global registration is allowed; TEASER-style GNC vs
+    # RANSAC via --teaser_on (`test/mulls_reg.cpp:169-178`)
+    coarse = args.coarse_reg
+    if coarse is None:
+        if not args.is_global_reg:
+            coarse = "none"
+        elif cfg.submap.teaser_based_global_registration_on:
+            coarse = "gnc"
+        else:
+            coarse = "ransac"
+
+    T, stats = register_pair(cfg, tgt, src, coarse=coarse,
                              init_guess=guess)
     print("[mulls_tpu reg] T (source->target):")
     print(np.array_str(T, precision=6, suppress_small=True))

@@ -39,10 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_num_end", type=int, default=None)
     p.add_argument("--frame_step", type=int, default=1)
     p.add_argument("--gt_body_pose_file_path", default=None)
-    p.add_argument("--gt_oxts_format", action="store_true",
+    p.add_argument("--gt_oxts_format", type=int, nargs="?", const=1, default=0,
                    help="gt poses are tx ty tz qx qy qz qw lines "
                         "(`dataio.hpp:2003-2040`) instead of KITTI 3x4")
-    p.add_argument("--gt_in_lidar_frame", action="store_true",
+    p.add_argument("--gt_in_lidar_frame", type=int, nargs="?", const=1, default=0,
                    help="gt poses are already in the LiDAR frame "
                         "(no calib applied, `mulls_slam.cpp:301-314`)")
     p.add_argument("--output_gt_lidar_pose_file_path", default=None)
@@ -66,10 +66,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantic-assisted extraction path)")
     p.add_argument("--output_map_pcd", default=None,
                    help="write the merged, outlier-filtered map cloud")
-    p.add_argument("--write_out_gt_map_on", action="store_true",
+    p.add_argument("--write_out_map_on", type=int, nargs="?", const=1, default=0,
+                   help="write the merged map into "
+                        "--output_map_point_cloud_folder_path/merged_map.pcd "
+                        "(`mulls_slam.cpp:46,959-1028`)")
+    p.add_argument("--map_downrate_output", type=int, default=1,
+                   help="per-frame point stride for the output map "
+                        "(`--map_downrate_output`, `mulls_slam.cpp:49,970`; "
+                        "the assembled map is additionally voxel-thinned "
+                        "by --map_voxel_size)")
+    p.add_argument("--constraint_output_file", default=None,
+                   help="dump the pose-graph edges in the reference's "
+                        "constraint-file format (`dataio.hpp:1247-1337`)")
+    p.add_argument("--write_out_gt_map_on", type=int, nargs="?", const=1, default=0,
                    help="assemble the map with gt poses instead of the "
                         "estimated ones (`--write_out_gt_map_on`)")
-    p.add_argument("--write_map_each_frame", action="store_true",
+    p.add_argument("--write_map_each_frame", type=int, nargs="?", const=1, default=0,
                    help="write each registered frame as its own pcd into "
                         "--output_map_point_cloud_folder_path")
     p.add_argument("--output_map_point_cloud_folder_path",
@@ -236,6 +248,19 @@ def main(argv=None) -> int:
         write_pcd(args.gt_lidar_pose_point_cloud,
                   gt_lidar[:, :3, 3].astype(np.float32))
 
+    # constraint-file dump (`dataio.hpp:1247-1337` format)
+    backend = getattr(res, "backend", None)
+    if args.constraint_output_file and backend is not None:
+        from mulls_tpu.io.constraints import write_constraint_file
+        n_con = write_constraint_file(args.constraint_output_file,
+                                      backend.edges)
+        print(f"[mulls_tpu] {n_con} constraints -> "
+              f"{args.constraint_output_file}")
+
+    if args.write_out_map_on and not args.output_map_pcd:
+        os.makedirs(args.output_map_point_cloud_folder_path, exist_ok=True)
+        args.output_map_pcd = os.path.join(
+            args.output_map_point_cloud_folder_path, "merged_map.pcd")
     if args.output_map_pcd or args.output_map_bev or args.write_map_each_frame:
         from mulls_tpu.mapping.assembly import (accumulate_map,
                                                 radius_outlier_filter,
@@ -249,6 +274,8 @@ def main(argv=None) -> int:
             for i in range(min(len(ds), len(map_poses))):
                 d = ds[i]
                 xyz = d["xyz"][d["mask"]]
+                if args.map_downrate_output > 1:
+                    xyz = xyz[::args.map_downrate_output]
                 T = map_poses[i]
                 moved = xyz @ T[:3, :3].T.astype(np.float32) \
                     + T[:3, 3].astype(np.float32)
@@ -257,7 +284,8 @@ def main(argv=None) -> int:
                     f"{i:06d}.pcd"), moved)
         if args.output_map_pcd or args.output_map_bev:
             pts = accumulate_map(ds, map_poses,
-                                 voxel_res=args.map_voxel_size)
+                                 voxel_res=args.map_voxel_size,
+                                 downrate=args.map_downrate_output)
             if args.map_filter_on:
                 pts = radius_outlier_filter(pts)
             write_map_outputs(pts, args.output_map_pcd, args.output_map_bev)

@@ -193,6 +193,9 @@ class RegConfig:
     dis_thre_update_rate: float = 1.1
     converge_tran: float = 0.0005
     converge_rot_d: float = 0.001
+    # yaw step for the 4-DoF global heading sweep
+    # (`--heading_change_step_degree`, `test/mulls_reg.cpp:52`)
+    heading_change_step_degree: float = 15.0
     reg_max_iter_num_s2s: int = 20
     reg_max_iter_num_s2m: int = 20
     reg_max_iter_num_m2m: int = 40
@@ -225,6 +228,9 @@ class MapConfig:
     """Local map maintenance (reference `src/map_manager.cpp:18-140`)."""
 
     local_map_radius: float = 80.0
+    # only frame points within this range of the scanner are appended to
+    # the map (`--append_frame_radius`, `mulls_slam.cpp:143,259`)
+    append_frame_radius: float = 60.0
     local_map_max_pt_num: int = 20000
     local_map_max_vertex_pt_num: int = 2000
     append_frame_downsample_rate: int = 1
@@ -317,6 +323,10 @@ class SubmapConfig:
     first_time_cov_update_ratio: float = 1.0
     life_long_cov_update_ratio: float = 1.0
     pgo_max_iter: int = 50
+    # end-of-run inner-submap refinement iterations
+    # (`--max_iter_inner_submap`, `mulls_slam.cpp:839,881`; our exact-GN
+    # solver converges in far fewer steps than the reference's LM default)
+    inner_refine_max_iter: int = 15
 
 
 @dataclass(frozen=True)
@@ -399,6 +409,22 @@ _FLAG_MAP = {
     "normal_shooting_on": ("reg", "normal_shooting_on", bool),
     "normal_bearing": ("reg", "normal_bearing", float),
     "local_map_radius": ("map", "local_map_radius", float),
+    "append_frame_radius": ("map", "append_frame_radius", float),
+    "max_iter_inter_submap": ("submap", "pgo_max_iter", int),
+    "max_iter_inner_submap": ("submap", "inner_refine_max_iter", int),
+    # mulls_reg flag-name aliases (`test/mulls_reg.cpp:24-59`): the pairwise
+    # CLI names the same parameters differently from the SLAM driver
+    "pca_neighbor_radius": ("feature", "cloud_pca_neigh_r", float),
+    "pca_neighbor_count": ("feature", "cloud_pca_neigh_k", int),
+    "corr_dis_thre": ("reg", "corr_dis_thre_init", float),
+    "corr_num": ("submap", "feature_corr_num", int),
+    "reciprocal_corr_on": ("submap", "reciprocal_feature_match_on", bool),
+    "fixed_num_corr_on": ("submap", "best_n_feature_match_on", bool),
+    "teaser_on": ("submap", "teaser_based_global_registration_on", bool),
+    "reg_max_iter_num": ("reg", "reg_max_iter_num_s2s", int),
+    "cloud_1_down_res": ("preprocess", "cloud_down_res", float),
+    "cloud_2_down_res": ("preprocess", "cloud_down_res", float),
+    "heading_change_step_degree": ("reg", "heading_change_step_degree", float),
     "local_map_max_pt_num": ("map", "local_map_max_pt_num", int),
     "local_map_max_vertex_pt_num": ("map", "local_map_max_vertex_pt_num", int),
     "local_map_recalculation_frequency": ("map", "local_map_recalculation_frequency", int),
@@ -485,6 +511,8 @@ _IGNORED_FLAGS = frozenset({
     "bsc_grid_num_per_side",  # BSC descriptor is dead code upstream
     "voxel_gicp_on",  # our GICP baseline is always voxelized (TPU design)
     "motion_compensation_on",  # superseded by motion_compensation_method
+    # glog flags passed by the reference run scripts
+    "colorlogtostderr", "stderrthreshold", "log_dir", "v",
 })
 
 

@@ -22,14 +22,20 @@ from mulls_tpu.io.pcd import write_pcd
 
 def accumulate_map(dataset, poses: np.ndarray, voxel_res: float = 0.25,
                    every_n: int = 1, max_points: int = 6_000_000,
-                   dist_max: float = 90.0) -> np.ndarray:
-    """Merge transformed scans keeping one point per global voxel."""
+                   dist_max: float = 90.0, downrate: int = 1) -> np.ndarray:
+    """Merge transformed scans keeping one point per global voxel.
+
+    ``downrate`` strides each frame's points before merging — the role of
+    the reference's output-map random downsample
+    (`--map_downrate_output`, `mulls_slam.cpp:970`)."""
     table: dict = {}
     inv_res = 1.0 / voxel_res
     for i in range(0, min(len(dataset), len(poses)), every_n):
         frame = dataset[i]
         m = frame["mask"]
         xyz = frame["xyz"][m]
+        if downrate > 1:
+            xyz = xyz[::downrate]
         r = np.linalg.norm(xyz, axis=1)
         xyz = xyz[(r > 1.5) & (r < dist_max)]
         world = xyz @ poses[i][:3, :3].T + poses[i][:3, 3]

@@ -90,6 +90,10 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
     for i, name in enumerate(FEATURE_NAMES):
         old = local_map.clouds[name].transform(T_inv)  # into new frame coords
         add = frame.down[name]
+        # append-radius crop: only points near the scanner join the map
+        # (`--append_frame_radius`, `mulls_slam.cpp:143,259,438`)
+        add = add.replace(mask=add.mask & (
+            jnp.linalg.norm(add.xyz, axis=-1) < map_cfg.append_frame_radius))
         if name in _DYNAMIC_CLASSES:
             keep = _dynamic_removal_mask(
                 add, old, map_cfg.dynamic_removal_radius,

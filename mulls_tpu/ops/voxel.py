@@ -45,6 +45,32 @@ def scanner_filter_mask(xyz: jnp.ndarray, mask: jnp.ndarray,
     return mask & (sq > self_radius ** 2) & (xyz[..., 2] > underground_z)
 
 
+def intensity_filter_mask(intensity: jnp.ndarray, mask: jnp.ndarray,
+                          min_i: float = 0.0, max_i: float = 1.0,
+                          intensity_scale: float = 255.0) -> jnp.ndarray:
+    """Keep points with intensity inside (min_i, max_i) x scale.
+
+    Parity: `cfilter.hpp:755-775` (``intensity_filter``; the reference's
+    body compares against ``min_i_thre`` twice — an obvious typo — the
+    documented intent, thresholds in [0,1] against a scaled max, is what
+    is implemented here)."""
+    return (mask & (intensity > min_i * intensity_scale)
+            & (intensity < max_i * intensity_scale))
+
+
+def incidence_angle_filter_mask(xyz: jnp.ndarray, normal: jnp.ndarray,
+                                mask: jnp.ndarray,
+                                min_rad: float = 0.0,
+                                max_rad: float = 1.5707963) -> jnp.ndarray:
+    """Keep points whose beam-to-surface incidence angle (between the
+    viewing ray and the point normal) lies in (min_rad, max_rad).
+    Parity: `cfilter.hpp:778-805` (``incidence_angle_filter``)."""
+    rng = jnp.linalg.norm(xyz, axis=-1)
+    dot = jnp.abs(jnp.sum(xyz * normal, axis=-1))
+    ang = jnp.arccos(jnp.clip(dot / jnp.maximum(rng, 1e-9), -1.0, 1.0))
+    return mask & (ang > min_rad) & (ang < max_rad)
+
+
 def voxel_ids(xyz: jnp.ndarray, resolution: float,
               bbx_min: jnp.ndarray, dims: jnp.ndarray) -> jnp.ndarray:
     """Linear voxel id per point given grid dims [3] (int32)."""

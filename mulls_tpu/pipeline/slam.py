@@ -177,5 +177,7 @@ class SlamPipeline:
         if backend is None or len(backend.submaps) < 1:
             return res.poses
         bounds = [(s.frame_begin, s.frame_end) for s in backend.submaps]
-        res.poses = inner_submap_refine(res.poses, res.poses_odom, bounds)
+        res.poses = inner_submap_refine(
+            res.poses, res.poses_odom, bounds,
+            iterations=self.cfg.submap.inner_refine_max_iter)
         return res.poses
