@@ -27,12 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--realtime_viewer_on", type=int, nargs="?", const=1, default=0,
                    help="ignored (headless build)")
     p.add_argument("--coarse_reg",
-                   choices=["gnc", "ransac", "fpfh", "yaw4dof", "none"],
+                   choices=["gnc", "ransac", "fpfh", "bev", "yaw4dof",
+                            "none"],
                    default=None,
                    help="coarse init: gnc (TEASER-style), ransac, fpfh "
-                        "(SAC-IA), yaw4dof (brute-force heading sweep, "
+                        "(SAC-IA), bev (global BEV correlation), yaw4dof "
+                        "(brute-force heading sweep, "
                         "`cregistration.hpp:1584-1681`); default follows "
-                        "--is_global_reg/--teaser_on like the reference")
+                        "--is_global_reg/--teaser_on like the reference, "
+                        "with a BEV fallback when the fine stage rejects")
     p.add_argument("--is_global_reg", type=int, default=1,
                    help="allow coarse registration without a good initial "
                         "guess (`test/mulls_reg.cpp:53`)")
@@ -81,7 +84,22 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
             "iterations": int(res.iterations),
         })
         return np.asarray(res.transform, np.float64), stats
-    if coarse == "fpfh":
+    def bev_init():
+        from mulls_tpu.backend.coarse_reg import coarse_reg_bev
+        names = ("facade", "pillar", "beam", "vertex")
+        sx = jnp.concatenate([fs.down[n].xyz for n in names])
+        sm = jnp.concatenate([fs.down[n].mask for n in names])
+        tx = jnp.concatenate([ft.down[n].xyz for n in names])
+        tm = jnp.concatenate([ft.down[n].mask for n in names])
+        return coarse_reg_bev(sx, sm, tx, tm)
+
+    if coarse == "bev":
+        res_c = bev_init()
+        stats["coarse_inliers"] = int(res_c.inlier_count)
+        stats["coarse_valid"] = bool(res_c.valid)
+        if bool(res_c.valid):
+            T0 = res_c.transform
+    elif coarse == "fpfh":
         # FPFH-SAC path (`cregistration.hpp:372-407`) on the downsampled
         # facade+ground geometry (normals come from the PCA pass)
         from mulls_tpu.backend.fpfh import coarse_reg_fpfhsac
@@ -128,6 +146,22 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
     reg = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))
     res = reg(fs.down, ft.full, cfg.reg, T0,
               max_iter=cfg.reg.reg_max_iter_num_s2s)
+    # descriptor matching degrades at wide baselines (NCC putative sets
+    # can coherently prefer a wrong mode); when the fine stage rejects or
+    # barely overlaps, retry from the global BEV-correlation basin
+    if coarse in ("gnc", "ransac", "fpfh") and (
+            int(res.process_code) != 1 or float(res.confidence) < 0.2):
+        res_c = bev_init()
+        if bool(res_c.valid):
+            res2 = reg(fs.down, ft.full, cfg.reg, res_c.transform,
+                       max_iter=cfg.reg.reg_max_iter_num_s2s)
+            better = (int(res2.process_code) == 1
+                      and float(res2.confidence) > float(res.confidence))
+            if better:
+                res = res2
+                stats["coarse_inliers"] = int(res_c.inlier_count)
+                stats["coarse_valid"] = bool(res_c.valid)
+                stats["bev_fallback"] = True
     stats.update({
         "sigma": float(res.sigma),
         "process_code": int(res.process_code),

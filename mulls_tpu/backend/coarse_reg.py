@@ -10,11 +10,15 @@ TPU-native replacements for the reference's two coarse-registration paths:
   best consensus set.  This is embarrassingly parallel and MXU-friendly.
 * :func:`coarse_reg_gnc` — certifiable-style robust registration in the
   spirit of TEASER++ (`coarse_reg_teaser`, `cregistration.hpp:664-759`):
-  GNC-TLS over pairwise translation-invariant measurements (TIMs) for
-  rotation, then component-wise median/TLS translation.  Deviation from
-  TEASER++ (documented): no max-clique inlier pruning — the GNC loop plays
-  that role; certificates are replaced by the same validity gate the
-  reference uses (rotation-inlier count >= teaser_min_inlier_count).
+  a pairwise-consistency pruning stage (the role of TEASER's max-clique,
+  as a batched greedy clique growth + geometric verification, pure MXU
+  matmuls), then GNC-TLS over pairwise translation-invariant measurements
+  (TIMs) for rotation and component-wise median/TLS translation.
+  Certificates are replaced by the same validity gate the reference uses
+  (rotation-inlier count >= teaser_min_inlier_count).
+* :func:`coarse_reg_bev` — global (yaw, tx, ty) BEV raster correlation:
+  a full-basin search for the planar/vehicle case that survives putative
+  match sets no robust estimator can (see its docstring).
 """
 
 from __future__ import annotations
@@ -60,6 +64,86 @@ def _pack(R, t):
     return T
 
 
+@partial(jax.jit, static_argnames=("grow_steps", "num_seeds"))
+def clique_consistency_mask(src: jnp.ndarray, tgt: jnp.ndarray,
+                            mask: jnp.ndarray, eps: float,
+                            grow_steps: int = 40, num_seeds: int = 0):
+    """Prune putative correspondences by rigid pairwise consistency.
+
+    Correspondences i, j are compatible when ``| |s_i-s_j| - |q_i-q_j| |``
+    is below ``eps`` — the distance-preservation graph TEASER++'s
+    max-clique stage runs on (`cregistration.hpp:699-727`).  True inliers
+    form an (exact) clique; self-similar scenes produce large *soft*
+    clusters that defeat spectral/eigenvector relaxations, so this is a
+    parallel greedy clique growth: every correspondence seeds a clique,
+    each step adds the candidate with the most edges into the remaining
+    candidate set — one ``[S,K] @ [K,K]`` masked matmul per step, batched
+    over all seeds on the MXU.  Returns (members of the largest grown
+    clique, clique size).  NCC putative matches run >90% outliers at
+    loop-closure baselines; GNC alone cannot recover from that, this can.
+    """
+    k = src.shape[0]
+    ds = jnp.linalg.norm(src[:, None, :] - src[None, :, :], axis=-1)
+    dt = jnp.linalg.norm(tgt[:, None, :] - tgt[None, :, :], axis=-1)
+    compat = (jnp.abs(ds - dt) < eps) & mask[:, None] & mask[None, :]
+    # duplicate matches (same keypoint on either side) trivially satisfy
+    # the consistency test — never let them certify each other
+    compat = compat & (ds > 0.1) & (dt > 0.1)
+    compat = compat & ~jnp.eye(k, dtype=bool)
+    A = compat.astype(jnp.float32)
+
+    s = num_seeds or k
+    # seed with the s highest-degree vertices (all of them by default)
+    deg = jnp.sum(A, axis=1)
+    _, seeds = jax.lax.top_k(deg, s)
+    members = jax.nn.one_hot(seeds, k, dtype=jnp.float32)  # [S,K]
+    cand = compat[seeds] & mask[None, :]  # [S,K]
+
+    def step(carry, _):
+        members, cand = carry
+        # degree of each candidate within its seed's candidate set
+        score = (cand.astype(jnp.float32) @ A) * cand  # [S,K]
+        best = jnp.argmax(score, axis=1)  # [S]
+        any_cand = jnp.any(cand, axis=1)
+        add = jax.nn.one_hot(best, k, dtype=jnp.float32) \
+            * any_cand[:, None].astype(jnp.float32)
+        members = jnp.minimum(members + add, 1.0)
+        # remaining candidates must be compatible with the new member too
+        cand = cand & (compat[best] | ~any_cand[:, None]) \
+            & (members < 0.5)
+        return (members, cand), None
+
+    (members, _), _ = jax.lax.scan(step, (members, cand), None,
+                                   length=grow_steps)
+    # geometric verification of every grown clique: batched Kabsch on the
+    # members, then inlier support over ALL matches.  Self-similar scenes
+    # (street symmetry) grow spurious cliques of comparable size — support
+    # over the full putative set disambiguates where size cannot.  A
+    # couple of median-scaled trim iterations first: a single outlier that
+    # slipped into a clique otherwise poisons the unweighted fit
+    src_b = jnp.broadcast_to(src, members.shape + (3,))
+    tgt_b = jnp.broadcast_to(tgt, members.shape + (3,))
+
+    def trim(w, _):
+        R, t = _kabsch(src_b, tgt_b, w)
+        proj = jnp.einsum("sij,kj->ski", R, src) + t[:, None, :]
+        d2 = jnp.sum((proj - tgt[None]) ** 2, -1)
+        med = jnp.nanmedian(jnp.where(members > 0.5, d2, jnp.nan),
+                            axis=1, keepdims=True)
+        med = jnp.nan_to_num(med, nan=1.0)
+        return members * (d2 <= 9.0 * med), None
+
+    w, _ = jax.lax.scan(trim, members, None, length=3)
+    R, t = _kabsch(src_b, tgt_b, w)
+    proj = jnp.einsum("sij,kj->ski", R, src) + t[:, None, :]
+    d2 = jnp.sum((proj - tgt[None]) ** 2, -1)
+    support = (d2 <= eps * eps) & mask[None, :]
+    counts = jnp.sum(support, axis=1)
+    best_seed = jnp.argmax(counts)
+    keep = support[best_seed] & mask
+    return keep, jnp.sum(keep)
+
+
 @partial(jax.jit, static_argnames=("num_hypotheses", "min_inlier_count"))
 def coarse_reg_ransac(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
                       key: jax.Array, inlier_thre: float,
@@ -67,6 +151,10 @@ def coarse_reg_ransac(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
                       min_inlier_count: int = 8) -> CoarseRegResult:
     """src/tgt: [K, 3] putative correspondence pairs, mask: [K]."""
     k = src.shape[0]
+    # consistency pruning first: at >90% outlier rates an all-inlier
+    # 3-sample is otherwise vanishingly rare
+    keep, _ = clique_consistency_mask(src, tgt, mask, eps=inlier_thre)
+    mask = jnp.where(jnp.sum(keep) >= min_inlier_count, keep, mask)
     # sample 3 valid correspondences per hypothesis; duplicate picks give
     # a rank-deficient Kabsch, so such hypotheses are voted out below
     prob = mask.astype(jnp.float32)
@@ -111,11 +199,16 @@ def coarse_reg_gnc(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
     """
     k = src.shape[0]
     k1, k2 = jax.random.split(key)
-    prob = mask.astype(jnp.float32)
+    # max-clique-style consistency pruning (spectral relaxation); fall
+    # back to the raw set when the dominant cluster is too small
+    keep, _ = clique_consistency_mask(src, tgt, mask, eps=noise_bound)
+    sel = jnp.sum(keep) >= min_inlier_count
+    mask_gnc = jnp.where(sel, keep, mask)
+    prob = mask_gnc.astype(jnp.float32)
     prob = prob / jnp.maximum(prob.sum(), 1.0)
     i_idx = jax.random.choice(k1, k, (num_tims,), p=prob)
     j_idx = jax.random.choice(k2, k, (num_tims,), p=prob)
-    ok = mask[i_idx] & mask[j_idx] & (i_idx != j_idx)
+    ok = mask_gnc[i_idx] & mask_gnc[j_idx] & (i_idx != j_idx)
     a = src[i_idx] - src[j_idx]
     b = tgt[i_idx] - tgt[j_idx]
     # TIM noise bound is 2x the measurement bound
@@ -153,7 +246,7 @@ def coarse_reg_gnc(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
     diff = tgt - src @ R.T
     # nanmedian: plain median would propagate the NaNs of masked rows and
     # zero the translation estimate whenever any correspondence is invalid
-    t_est = jnp.nanmedian(jnp.where(mask[:, None], diff, jnp.nan), axis=0)
+    t_est = jnp.nanmedian(jnp.where(mask_gnc[:, None], diff, jnp.nan), axis=0)
     t_est = jnp.nan_to_num(t_est)
     d2 = jnp.sum((src @ R.T + t_est - tgt) ** 2, -1)
     inl = (d2 <= (2.0 * noise_bound) ** 2) & mask
@@ -174,3 +267,96 @@ def double_check_tran(T_coarse: jnp.ndarray, T_predict: jnp.ndarray,
     dt = jnp.linalg.norm(dT[:3, 3])
     da = se3.rotation_angle(dT[:3, :3])
     return (dt <= tran_thre) & (da <= jnp.radians(rot_thre_deg))
+
+
+@partial(jax.jit, static_argnames=("grid", "res", "yaw_steps", "chunk"))
+def coarse_reg_bev(src: jnp.ndarray, src_mask: jnp.ndarray,
+                   tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
+                   grid: int = 256, res: float = 0.5,
+                   yaw_steps: int = 120, chunk: int = 24,
+                   min_peak_ratio: float = 0.25):
+    """Global 3-DoF (yaw, tx, ty) registration by BEV raster correlation.
+
+    A global-basin coarse initializer for the vehicle / loop-closure case
+    where descriptor matching degrades (NCC putative sets at wide
+    baselines run >95% outliers and can prefer a coherent wrong mode —
+    no robust estimator survives that).  Both clouds are rasterized to a
+    2D occupancy grid; every yaw hypothesis is scored by a dense 2D
+    cross-correlation over ALL translations at once via FFT — the search
+    cannot miss the true basin, unlike local ICP or sampled hypotheses.
+    Pure FFT/elementwise work, TPU-idiomatic.  Capability superset of the
+    reference's TEASER loop-closure initializer for planar motion; full
+    6-DoF cases keep :func:`coarse_reg_gnc`.
+
+    src/tgt: [N,3]/[M,3] feature points (facade/pillar/beam work best).
+    Returns CoarseRegResult; inlier_count is the number of overlapping
+    occupied cells at the peak, valid gates on peak/self-correlation.
+    """
+    half = grid // 2
+
+    def raster(xyz, mask):
+        ij = jnp.floor(xyz[:, :2] / res).astype(jnp.int32) + half
+        ok = mask & jnp.all((ij >= 0) & (ij < grid), axis=1)
+        ij = jnp.clip(ij, 0, grid - 1)
+        img = jnp.zeros((grid, grid), jnp.float32)
+        img = img.at[ij[:, 0], ij[:, 1]].add(jnp.where(ok, 1.0, 0.0))
+        return jnp.minimum(img, 3.0)
+
+    tgt_img = raster(tgt, tgt_mask)
+    # zero-padded FFT correlation (linear, not circular)
+    pad = 2 * grid
+    tgt_f = jnp.fft.rfft2(tgt_img, (pad, pad))
+
+    yaws = jnp.arange(yaw_steps, dtype=jnp.float32) \
+        * (2.0 * jnp.pi / yaw_steps)
+
+    def score_yaw(yaw_chunk):
+        c, s = jnp.cos(yaw_chunk), jnp.sin(yaw_chunk)
+        # rotate source xy by yaw: [C,N,2]
+        x, y = src[:, 0], src[:, 1]
+        xr = c[:, None] * x[None] - s[:, None] * y[None]
+        yr = s[:, None] * x[None] + c[:, None] * y[None]
+        ij = jnp.floor(jnp.stack([xr, yr], -1) / res).astype(jnp.int32) + half
+        ok = src_mask[None] & jnp.all((ij >= 0) & (ij < grid), axis=-1)
+        ij = jnp.clip(ij, 0, grid - 1)
+        imgs = jnp.zeros((yaw_chunk.shape[0], grid, grid), jnp.float32)
+        bidx = jnp.broadcast_to(jnp.arange(yaw_chunk.shape[0])[:, None],
+                                ok.shape)
+        imgs = imgs.at[bidx, ij[..., 0], ij[..., 1]].add(
+            jnp.where(ok, 1.0, 0.0))
+        imgs = jnp.minimum(imgs, 3.0)
+        src_f = jnp.fft.rfft2(imgs, (pad, pad))
+        corr = jnp.fft.irfft2(jnp.conj(src_f) * tgt_f[None], (pad, pad))
+        best = jnp.max(corr.reshape(yaw_chunk.shape[0], -1), axis=1)
+        arg = jnp.argmax(corr.reshape(yaw_chunk.shape[0], -1), axis=1)
+        return best, arg
+
+    best, arg = jax.lax.map(score_yaw, yaws.reshape(-1, chunk))
+    best = best.reshape(-1)
+    arg = arg.reshape(-1)
+    k = jnp.argmax(best)
+    yaw = yaws[k]
+    di = arg[k] // pad
+    dj = arg[k] % pad
+    # FFT correlation index -> shift (wrap negative shifts)
+    di = jnp.where(di > pad // 2, di - pad, di)
+    dj = jnp.where(dj > pad // 2, dj - pad, dj)
+    t_xy = jnp.stack([di, dj]).astype(jnp.float32) * res
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    R = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    R = R.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
+    t = jnp.array([t_xy[0], t_xy[1], 0.0])
+    # z offset: medians of the height distributions (vehicle scans share
+    # the ground plane; ICP refines the rest)
+    src_z = jnp.nanmedian(jnp.where(src_mask, src[:, 2], jnp.nan))
+    tgt_z = jnp.nanmedian(jnp.where(tgt_mask, tgt[:, 2], jnp.nan))
+    t = t.at[2].set(jnp.nan_to_num(tgt_z - src_z))
+    # validity: peak must be a solid fraction of the self-correlation
+    self_corr = jnp.sum(tgt_img * tgt_img)
+    peak = best[k]
+    n_cells = peak / 9.0  # upper bound estimate of overlapping full cells
+    return CoarseRegResult(
+        transform=_pack(R, t),
+        inlier_count=n_cells.astype(jnp.int32),
+        valid=peak > min_peak_ratio * self_corr,
+        reliable=peak > 2.0 * min_peak_ratio * self_corr)

@@ -174,6 +174,27 @@ class SlamBackend:
                                        min_inlier_count=s.teaser_min_inlier_count)
         return np.asarray(res.transform, np.float64), bool(res.valid)
 
+    def bev_align(self, a: Submap, b: Submap) -> Tuple[np.ndarray, bool]:
+        """Global BEV-correlation coarse alignment of two submaps.
+
+        Fallback when NCC putative sets degrade (wide loop-closure
+        baselines can coherently prefer a wrong symmetric mode that
+        passes the robust estimator but fails the odometry double-check);
+        the dense (yaw, tx, ty) basin search cannot miss the true mode
+        for planar motion."""
+        def stack(sm_):
+            xyz = jnp.concatenate(
+                [sm_.clouds[n].xyz for n in
+                 ("facade", "pillar", "beam", "vertex")])
+            msk = jnp.concatenate(
+                [sm_.clouds[n].mask for n in
+                 ("facade", "pillar", "beam", "vertex")])
+            return jax.device_put(xyz), jax.device_put(msk)
+        sx, sm_m = stack(b)
+        tx, tm = stack(a)
+        res = cr.coarse_reg_bev(sx, sm_m, tx, tm, grid=320, res=0.6)
+        return np.asarray(res.transform, np.float64), bool(res.valid)
+
     # --- back-end step at a new submap boundary --------------------------
 
     def on_new_submap(self, key) -> Optional[np.ndarray]:
@@ -261,18 +282,32 @@ class SlamBackend:
                 # drifted mode uses looser consistency tolerances
                 # (`mulls_slam.cpp:551-555`: 10x/6x vs 3x/3x)
                 f_t, f_r = (10.0, 6.0) if overall else (3.0, 3.0)
-                if ok and bool(cr.double_check_tran(
-                        jnp.asarray(T_coarse, jnp.float32),
+
+                def _checked(T_c):
+                    return bool(cr.double_check_tran(
+                        jnp.asarray(T_c, jnp.float32),
                         jnp.asarray(T_guess, jnp.float32),
                         s_cfg.wrong_edge_tran_thre * f_t,
-                        s_cfg.wrong_edge_rot_thre_deg * f_r)):
+                        s_cfg.wrong_edge_rot_thre_deg * f_r))
+
+                if ok and _checked(T_coarse):
                     T_init = T_coarse
                     global_reg_ok = True
                     self.events.append(f"loop {old.sid}->{b.sid}: using "
                                        "coarse alignment")
                 else:
-                    self.events.append(f"loop {old.sid}->{b.sid}: coarse "
-                                       "failed, using odometry prediction")
+                    # NCC matching failed or locked onto a wrong coherent
+                    # mode: retry with the global BEV basin search
+                    T_bev, ok_bev = self.bev_align(old, b)
+                    if ok_bev and _checked(T_bev):
+                        T_init = T_bev
+                        global_reg_ok = True
+                        self.events.append(f"loop {old.sid}->{b.sid}: "
+                                           "using BEV coarse alignment")
+                    else:
+                        self.events.append(f"loop {old.sid}->{b.sid}: "
+                                           "coarse failed, using odometry "
+                                           "prediction")
             if (not global_reg_ok and transfer_T is None
                     and self.frames_wo_opt > s_cfg.num_frame_thre_large_drift):
                 # large drift + no global registration: the odometry prior

@@ -149,17 +149,25 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
         curv_gate, feats.curvature, shapes.n_vertex_full)
     onehot = jax.nn.one_hot(class_id - 1, 4, dtype=jnp.float32)
     onehot = onehot * ug_valid[:, None]
-    feat_stack = jnp.concatenate([onehot, ug_int[:, None]], axis=1)
-    m2 = nbr.radius_moments(
-        ug_xyz[cand_idx], cand_valid, ug_xyz, ug_valid,
-        jnp.float32(fcfg.cloud_pca_neigh_r), p_feats=feat_stack,
-        close_fraction_sq=0.64, chunk=512)
-    cand_count = jnp.maximum(m2["count"], 1.0)
-    class_counts = m2["feat_sum"][:, :4]  # pillar/beam/facade/roof
-    close_counts = m2["close_feat_sum"][:, :4]
-    far_counts = class_counts - close_counts
+    # K-capped neighborhoods like the reference's radiusSearch(max_nn=K)
+    # (`pca.hpp:326`): normalizing the category percentages by the full
+    # in-radius count dilutes descriptors in dense areas until NCC
+    # matching collapses (featureless keypoints all look alike)
+    r_desc = jnp.full((shapes.n_vertex_full,), fcfg.cloud_pca_neigh_r,
+                      jnp.float32)
+    if fcfg.use_distance_adaptive_pca:
+        dq = jnp.linalg.norm(ug_xyz[cand_idx], axis=-1)
+        r_desc = r_desc * jnp.sqrt(jnp.maximum(dq / fcfg.unit_dist, 1.0))
+    m2 = nbr.knn_class_counts(
+        ug_xyz[cand_idx], cand_valid, ug_xyz, ug_valid, r_desc,
+        k=fcfg.cloud_pca_neigh_k, class_onehot=onehot, p_intensity=ug_int,
+        close_r2=0.64 * fcfg.cloud_pca_neigh_r ** 2, chunk=256)
+    cand_count = jnp.maximum(m2["count"].astype(jnp.float32), 1.0)
+    close_counts = m2["close_counts"]  # pillar/beam/facade/roof
+    far_counts = m2["far_counts"]
+    class_counts = close_counts + far_counts
     geo_count = jnp.sum(class_counts, axis=1)
-    mean_int = m2["feat_sum"][:, 4] / cand_count
+    mean_int = m2["int_sum"] / cand_count
 
     # vertex-method-2: unclassified high-curvature points whose neighborhood
     # is rich in feature points get promoted to pillar/beam

@@ -197,3 +197,57 @@ def nearest_neighbor(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
     best = best.reshape(-1)[:qn]
     best = jnp.where(q_mask, best, _BIG)
     return idx, best
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_class_counts(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
+                     p_xyz: jnp.ndarray, p_mask: jnp.ndarray,
+                     radius: jnp.ndarray, k: int,
+                     class_onehot: jnp.ndarray,
+                     p_intensity: jnp.ndarray,
+                     close_r2: float,
+                     chunk: int = 256) -> dict:
+    """K-capped radius neighborhood category statistics.
+
+    Parity with the reference's ``radiusSearch(..., max_nn=k)``
+    neighborhoods (`pca.hpp:326`) consumed by ``encode_stable_points``
+    (`cfilter.hpp:1093-1163`): for each query, consider (at most) the K
+    NEAREST support points within ``radius`` (scalar or per-query).  The
+    cap matters: normalizing category percentages by the full in-radius
+    count dilutes the descriptor in dense areas until featureless
+    keypoints all look alike and NCC matching collapses.
+
+    Returns dict with ``count [Q]``, ``close_counts [Q,C]``,
+    ``far_counts [Q,C]`` (split at d^2 < close_r2, the reference's
+    0.64 r_base^2, `pca.hpp:338`), ``int_sum [Q]``.
+    """
+    qn = q_xyz.shape[0]
+    r2 = jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (qn,))
+    qpad = -qn % chunk
+    q_pad = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
+    r2_pad = jnp.concatenate(
+        [r2, jnp.zeros((qpad,), jnp.float32)]).reshape(-1, chunk)
+    inval = jnp.where(p_mask, 0.0, _BIG)[None, :]
+
+    def one_chunk(args):
+        qc, r2c = args
+        d2 = pairwise_sqdist(qc, p_xyz) + inval  # [chunk, P]
+        neg, idx = jax.lax.top_k(-d2, k)  # K nearest
+        d2k = -neg  # [chunk, k]
+        within = d2k <= r2c[:, None]
+        oh = class_onehot[idx]  # [chunk, k, C]
+        close = within & (d2k < close_r2)
+        far = within & ~close
+        return (jnp.sum(within, axis=1),
+                jnp.sum(oh * close[..., None], axis=1),
+                jnp.sum(oh * far[..., None], axis=1),
+                jnp.sum(p_intensity[idx] * within, axis=1))
+
+    count, close_c, far_c, int_sum = jax.lax.map(one_chunk, (q_pad, r2_pad))
+    nC = class_onehot.shape[-1]
+    return {
+        "count": count.reshape(-1)[:qn] * q_mask,
+        "close_counts": close_c.reshape(-1, nC)[:qn] * q_mask[:, None],
+        "far_counts": far_c.reshape(-1, nC)[:qn] * q_mask[:, None],
+        "int_sum": int_sum.reshape(-1)[:qn] * q_mask,
+    }

@@ -205,3 +205,66 @@ def test_ransac_with_partial_mask(rng):
                                jax.random.key(1), inlier_thre=0.1)
     assert bool(res.valid)
     np.testing.assert_allclose(np.asarray(res.transform), T_gt, atol=0.05)
+
+
+# --- consistency clique + BEV correlation (TEASER-robustness stand-ins) ----
+
+
+def test_clique_consistency_extreme_outliers(rng):
+    """>90% outliers: the clique stage must isolate the inlier set that
+    GNC/RANSAC alone cannot see (`cregistration.hpp:699-727` role)."""
+    src, tgt, T_gt, out_idx = _corr_set(rng, n=400, outlier_frac=0.92,
+                                        noise=0.02)
+    keep, size = cr.clique_consistency_mask(src, tgt,
+                                            jnp.ones(len(src), bool),
+                                            eps=0.3)
+    kn = np.asarray(keep)
+    is_out = np.zeros(len(src), bool)
+    is_out[out_idx] = True
+    assert int(size) >= 16
+    # kept set must be dominated by true inliers
+    assert (~is_out[kn]).mean() > 0.9
+
+
+def test_gnc_extreme_outliers(rng):
+    src, tgt, T_gt, _ = _corr_set(rng, n=400, outlier_frac=0.92, noise=0.02)
+    res = cr.coarse_reg_gnc(src, tgt, jnp.ones(len(src), bool),
+                            jax.random.key(1), noise_bound=0.15)
+    assert bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.transform), T_gt, atol=0.12)
+
+
+def _structured_scene(rng, n=3000):
+    """Walls + posts: enough BEV structure to pin yaw and translation."""
+    pts = []
+    for (x0, y0, x1, y1) in [(-30, -8, 30, -8), (-30, 6, 30, 6),
+                             (-30, -8, -30, 6), (10, -8, 10, 6)]:
+        m = n // 8
+        a = rng.uniform(0, 1, m)[:, None]
+        seg = np.stack([x0 + a[:, 0] * (x1 - x0), y0 + a[:, 0] * (y1 - y0),
+                        rng.uniform(0, 4, m)], 1)
+        pts.append(seg)
+    for (px, py) in [(-20, -2), (-5, 3), (18, 1), (25, -5)]:
+        m = n // 8
+        pts.append(np.stack([px + 0.1 * rng.normal(size=m),
+                             py + 0.1 * rng.normal(size=m),
+                             rng.uniform(0, 5, m)], 1))
+    return np.concatenate(pts).astype(np.float32)
+
+
+def test_coarse_reg_bev_recovers_large_offset(rng):
+    tgt = _structured_scene(rng)
+    yaw = np.radians(25.0)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([9.0, -4.0, 0.3], np.float32)
+    # target = R src + t  =>  src = R^-1 (tgt - t)
+    src = (tgt - t) @ R
+    res = cr.coarse_reg_bev(jnp.asarray(src), jnp.ones(len(src), bool),
+                            jnp.asarray(tgt), jnp.ones(len(tgt), bool))
+    assert bool(res.valid)
+    T = np.asarray(res.transform)
+    assert np.linalg.norm(T[:3, 3][:2] - t[:2]) < 1.0
+    assert abs(T[2, 3] - t[2]) < 1.0
+    cos_err = (np.trace(T[:3, :3] @ R.T) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos_err, -1, 1))) < 4.0
