@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from mulls_tpu.config import MullsConfig, load_flagfile
+from mulls_tpu.config import MullsConfig, gflag_bool, load_flagfile
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--appro_coordinate_file", default=None,
                    help="4x4 initial guess, whitespace separated")
     p.add_argument("--flagfile", default=None)
-    p.add_argument("--realtime_viewer_on", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--realtime_viewer_on", type=gflag_bool, nargs="?", const=1, default=0,
                    help="ignored (headless build)")
     p.add_argument("--coarse_reg",
                    choices=["gnc", "ransac", "fpfh", "bev", "yaw4dof",
@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "`cregistration.hpp:1584-1681`); default follows "
                         "--is_global_reg/--teaser_on like the reference, "
                         "with a BEV fallback when the fine stage rejects")
-    p.add_argument("--is_global_reg", type=int, default=1,
+    p.add_argument("--is_global_reg", type=gflag_bool, default=1,
                    help="allow coarse registration without a good initial "
                         "guess (`test/mulls_reg.cpp:53`)")
     p.add_argument("--json_out", default=None)
@@ -63,8 +63,21 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
                         mask=jnp.asarray(p["mask"]))
 
     extract = jax.jit(extract_features, static_argnames=("cfg",))
-    ft = extract(to_raw(cloud_target), cfg, jax.random.key(1))
-    fs = extract(to_raw(cloud_source), cfg, jax.random.key(2))
+
+    # per-cloud downsample overrides (`--cloud_1_down_res` target /
+    # `--cloud_2_down_res` source, `test/mulls_reg.cpp:29-30,80-81`)
+    import dataclasses
+
+    def side_cfg(res_override):
+        if res_override is None or res_override < 0:
+            return cfg
+        return dataclasses.replace(cfg, preprocess=dataclasses.replace(
+            cfg.preprocess, cloud_down_res=res_override))
+
+    ft = extract(to_raw(cloud_target),
+                 side_cfg(cfg.preprocess.cloud_1_down_res), jax.random.key(1))
+    fs = extract(to_raw(cloud_source),
+                 side_cfg(cfg.preprocess.cloud_2_down_res), jax.random.key(2))
 
     stats = {}
     T0 = jnp.eye(4, dtype=jnp.float32) if init_guess is None \
@@ -85,12 +98,10 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
         })
         return np.asarray(res.transform, np.float64), stats
     def bev_init():
-        from mulls_tpu.backend.coarse_reg import coarse_reg_bev
-        names = ("facade", "pillar", "beam", "vertex")
-        sx = jnp.concatenate([fs.down[n].xyz for n in names])
-        sm = jnp.concatenate([fs.down[n].mask for n in names])
-        tx = jnp.concatenate([ft.down[n].xyz for n in names])
-        tm = jnp.concatenate([ft.down[n].mask for n in names])
+        from mulls_tpu.backend.coarse_reg import (bev_feature_stack,
+                                                  coarse_reg_bev)
+        sx, sm = bev_feature_stack(fs.down)
+        tx, tm = bev_feature_stack(ft.down)
         return coarse_reg_bev(sx, sm, tx, tm)
 
     if coarse == "bev":

@@ -22,7 +22,7 @@ import sys
 
 import numpy as np
 
-from mulls_tpu.config import MullsConfig, load_flagfile
+from mulls_tpu.config import MullsConfig, gflag_bool, load_flagfile
 from mulls_tpu.eval import kitti_metrics
 from mulls_tpu.io import kitti as kitti_io
 from mulls_tpu.io.dataset import FolderDataset
@@ -39,10 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_num_end", type=int, default=None)
     p.add_argument("--frame_step", type=int, default=1)
     p.add_argument("--gt_body_pose_file_path", default=None)
-    p.add_argument("--gt_oxts_format", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--gt_oxts_format", type=gflag_bool, nargs="?", const=1, default=0,
                    help="gt poses are tx ty tz qx qy qz qw lines "
                         "(`dataio.hpp:2003-2040`) instead of KITTI 3x4")
-    p.add_argument("--gt_in_lidar_frame", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--gt_in_lidar_frame", type=gflag_bool, nargs="?", const=1, default=0,
                    help="gt poses are already in the LiDAR frame "
                         "(no calib applied, `mulls_slam.cpp:301-314`)")
     p.add_argument("--output_gt_lidar_pose_file_path", default=None)
@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantic-assisted extraction path)")
     p.add_argument("--output_map_pcd", default=None,
                    help="write the merged, outlier-filtered map cloud")
-    p.add_argument("--write_out_map_on", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--write_out_map_on", type=gflag_bool, nargs="?", const=1, default=0,
                    help="write the merged map into "
                         "--output_map_point_cloud_folder_path/merged_map.pcd "
                         "(`mulls_slam.cpp:46,959-1028`)")
@@ -78,10 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--constraint_output_file", default=None,
                    help="dump the pose-graph edges in the reference's "
                         "constraint-file format (`dataio.hpp:1247-1337`)")
-    p.add_argument("--write_out_gt_map_on", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--write_out_gt_map_on", type=gflag_bool, nargs="?", const=1, default=0,
                    help="assemble the map with gt poses instead of the "
                         "estimated ones (`--write_out_gt_map_on`)")
-    p.add_argument("--write_map_each_frame", type=int, nargs="?", const=1, default=0,
+    p.add_argument("--write_map_each_frame", type=gflag_bool, nargs="?", const=1, default=0,
                    help="write each registered frame as its own pcd into "
                         "--output_map_point_cloud_folder_path")
     p.add_argument("--output_map_point_cloud_folder_path",
@@ -250,12 +250,16 @@ def main(argv=None) -> int:
 
     # constraint-file dump (`dataio.hpp:1247-1337` format)
     backend = getattr(res, "backend", None)
-    if args.constraint_output_file and backend is not None:
-        from mulls_tpu.io.constraints import write_constraint_file
-        n_con = write_constraint_file(args.constraint_output_file,
-                                      backend.edges)
-        print(f"[mulls_tpu] {n_con} constraints -> "
-              f"{args.constraint_output_file}")
+    if args.constraint_output_file:
+        if backend is not None:
+            from mulls_tpu.io.constraints import write_constraint_file
+            n_con = write_constraint_file(args.constraint_output_file,
+                                          backend.edges)
+            print(f"[mulls_tpu] {n_con} constraints -> "
+                  f"{args.constraint_output_file}")
+        else:
+            print("[mulls_tpu] constraint output requested but no pose "
+                  "graph was built (enable --loop_closure_detection_on)")
 
     if args.write_out_map_on and not args.output_map_pcd:
         os.makedirs(args.output_map_point_cloud_folder_path, exist_ok=True)

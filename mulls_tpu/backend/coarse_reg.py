@@ -102,9 +102,13 @@ def clique_consistency_mask(src: jnp.ndarray, tgt: jnp.ndarray,
     def step(carry, _):
         members, cand = carry
         # degree of each candidate within its seed's candidate set
-        score = (cand.astype(jnp.float32) @ A) * cand  # [S,K]
+        # +0.5 keeps zero-degree candidates pickable (a lone final member
+        # would otherwise give an all-zero score row whose argmax falls
+        # back to index 0 — an arbitrary, unvetted correspondence)
+        score = (cand.astype(jnp.float32) @ A + 0.5) * cand  # [S,K]
         best = jnp.argmax(score, axis=1)  # [S]
-        any_cand = jnp.any(cand, axis=1)
+        picked = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        any_cand = jnp.any(cand, axis=1) & picked
         add = jax.nn.one_hot(best, k, dtype=jnp.float32) \
             * any_cand[:, None].astype(jnp.float32)
         members = jnp.minimum(members + add, 1.0)
@@ -307,8 +311,12 @@ def coarse_reg_bev(src: jnp.ndarray, src_mask: jnp.ndarray,
     pad = 2 * grid
     tgt_f = jnp.fft.rfft2(tgt_img, (pad, pad))
 
-    yaws = jnp.arange(yaw_steps, dtype=jnp.float32) \
+    # pad the yaw sweep to a multiple of the chunk size (repeated final
+    # hypotheses are harmless — same score, argmax picks the first)
+    n_pad = -yaw_steps % chunk
+    yaws = jnp.arange(yaw_steps + n_pad, dtype=jnp.float32) \
         * (2.0 * jnp.pi / yaw_steps)
+    yaws = jnp.minimum(yaws, 2.0 * jnp.pi * (yaw_steps - 1) / yaw_steps)
 
     def score_yaw(yaw_chunk):
         c, s = jnp.cos(yaw_chunk), jnp.sin(yaw_chunk)
@@ -351,12 +359,27 @@ def coarse_reg_bev(src: jnp.ndarray, src_mask: jnp.ndarray,
     src_z = jnp.nanmedian(jnp.where(src_mask, src[:, 2], jnp.nan))
     tgt_z = jnp.nanmedian(jnp.where(tgt_mask, tgt[:, 2], jnp.nan))
     t = t.at[2].set(jnp.nan_to_num(tgt_z - src_z))
-    # validity: peak must be a solid fraction of the self-correlation
-    self_corr = jnp.sum(tgt_img * tgt_img)
+    # validity: peak against the GEOMETRIC MEAN of both self-correlations
+    # (Cauchy-Schwarz bound); normalizing by the target alone would make a
+    # sparse source unvalidatable even at perfect alignment
+    self_t = jnp.sum(tgt_img * tgt_img)
+    self_s = jnp.sum(raster(src, src_mask) ** 2)
+    norm = jnp.sqrt(jnp.maximum(self_t * self_s, 1e-12))
     peak = best[k]
     n_cells = peak / 9.0  # upper bound estimate of overlapping full cells
     return CoarseRegResult(
         transform=_pack(R, t),
         inlier_count=n_cells.astype(jnp.int32),
-        valid=peak > min_peak_ratio * self_corr,
-        reliable=peak > 2.0 * min_peak_ratio * self_corr)
+        valid=peak > min_peak_ratio * norm,
+        reliable=peak > 2.0 * min_peak_ratio * norm)
+
+
+def bev_feature_stack(clouds: dict, names=("facade", "pillar", "beam",
+                                           "vertex")):
+    """Concatenate the BEV-relevant feature classes of a FeatureCloud dict
+    (frame ``down`` clouds or submap clouds) into (xyz, mask) for
+    :func:`coarse_reg_bev` — shared by the reg CLI and the loop-closure
+    fallback so the class choice cannot drift between them."""
+    xyz = jnp.concatenate([clouds[n].xyz for n in names])
+    mask = jnp.concatenate([clouds[n].mask for n in names])
+    return xyz, mask

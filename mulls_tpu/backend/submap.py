@@ -182,16 +182,8 @@ class SlamBackend:
         passes the robust estimator but fails the odometry double-check);
         the dense (yaw, tx, ty) basin search cannot miss the true mode
         for planar motion."""
-        def stack(sm_):
-            xyz = jnp.concatenate(
-                [sm_.clouds[n].xyz for n in
-                 ("facade", "pillar", "beam", "vertex")])
-            msk = jnp.concatenate(
-                [sm_.clouds[n].mask for n in
-                 ("facade", "pillar", "beam", "vertex")])
-            return jax.device_put(xyz), jax.device_put(msk)
-        sx, sm_m = stack(b)
-        tx, tm = stack(a)
+        sx, sm_m = (jax.device_put(x) for x in cr.bev_feature_stack(b.clouds))
+        tx, tm = (jax.device_put(x) for x in cr.bev_feature_stack(a.clouds))
         res = cr.coarse_reg_bev(sx, sm_m, tx, tm, grid=320, res=0.6)
         return np.asarray(res.transform, np.float64), bool(res.valid)
 

@@ -101,6 +101,10 @@ class PreprocessConfig:
     underground_height_thre: float = -6.0
     approx_scanner_height: float = 1.8
     cloud_down_res: float = 0.0  # pre-voxel-downsample resolution (0 = off)
+    # per-cloud overrides for the pairwise reg CLI (`--cloud_1_down_res` /
+    # `--cloud_2_down_res`, `test/mulls_reg.cpp:29-30`); <0 = inherit
+    cloud_1_down_res: float = -1.0  # target cloud
+    cloud_2_down_res: float = -1.0  # source cloud
     # ROI filter: delete the y-band (traffic lane) from the unground cloud
     # (`cfilter.hpp:2367-2374`, `bbx_filter(..., delete_box=true)`)
     apply_roi_filter: bool = False
@@ -422,8 +426,8 @@ _FLAG_MAP = {
     "fixed_num_corr_on": ("submap", "best_n_feature_match_on", bool),
     "teaser_on": ("submap", "teaser_based_global_registration_on", bool),
     "reg_max_iter_num": ("reg", "reg_max_iter_num_s2s", int),
-    "cloud_1_down_res": ("preprocess", "cloud_down_res", float),
-    "cloud_2_down_res": ("preprocess", "cloud_down_res", float),
+    "cloud_1_down_res": ("preprocess", "cloud_1_down_res", float),
+    "cloud_2_down_res": ("preprocess", "cloud_2_down_res", float),
     "heading_change_step_degree": ("reg", "heading_change_step_degree", float),
     "local_map_max_pt_num": ("map", "local_map_max_pt_num", int),
     "local_map_max_vertex_pt_num": ("map", "local_map_max_vertex_pt_num", int),
@@ -521,6 +525,13 @@ def _parse_value(raw: str, typ):
     if typ is bool:
         return raw.lower() in ("true", "1", "yes", "on")
     return typ(raw)
+
+
+def gflag_bool(raw: str) -> int:
+    """argparse type for gflags-style booleans: accepts true/false/1/0
+    (the reference run scripts pass e.g. ``--realtime_viewer_on=true``,
+    `script/run_mulls_reg.sh`)."""
+    return int(_parse_value(str(raw), bool))
 
 
 def _apply_flag_lines(cfg: MullsConfig, lines) -> MullsConfig:
