@@ -15,6 +15,10 @@ import time
 
 import numpy as np
 
+# persist remote-TPU compiles across bench runs (a cold fused-step compile
+# on the tunneled chip is minutes; warm is seconds)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 
 def main():
     import jax
@@ -77,19 +81,26 @@ def main():
         jax.block_until_ready(parts[-1])
         dt = time.perf_counter() - t0
         fps = max(fps, len(playlist) / dt)
-    # validation fetch (post-timer) under a watchdog: the tunnel's first
-    # device->host transfer can wedge for minutes; never let that keep the
-    # metric from printing
+    # validation fetch (post-timer) under a watchdog: the tunnel can wedge
+    # device->host transfers for minutes; never let that keep the metric
+    # from printing.  Fetch the buffers the run already produced (plain
+    # device_get per segment — no fresh op, so no remote compile on the
+    # critical path).
     import threading
-    codes = None
+    fetched = []
+    fetch_done = False
 
     def _fetch():
-        nonlocal codes
-        codes = np.asarray(jnp.concatenate(parts))[:, 13].astype(int)
+        nonlocal fetch_done
+        for p in parts:
+            fetched.append(np.asarray(p))
+        fetch_done = True
 
     th = threading.Thread(target=_fetch, daemon=True)
     th.start()
-    th.join(timeout=90.0)
+    th.join(timeout=240.0)
+    codes = (np.concatenate(fetched)[:, 13].astype(int)
+             if fetch_done else None)
     ok = codes is not None and bool(np.all(codes == 1))
     out = {
         "metric": "frontend_odometry_fps",
@@ -101,7 +112,7 @@ def main():
         out["warn"] = ("validation fetch timed out" if codes is None
                        else f"codes={codes.tolist()}")
     print(json.dumps(out), flush=True)
-    if codes is None:
+    if not fetch_done:
         # a wedged fetch thread would crash interpreter teardown; the
         # metric is out, exit hard and clean
         os._exit(0)

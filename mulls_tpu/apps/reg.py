@@ -183,8 +183,7 @@ def register_pair(cfg: MullsConfig, cloud_target: dict, cloud_source: dict,
 
 
 def main(argv=None) -> int:
-    from mulls_tpu.io.dataset import read_point_cloud
-    from mulls_tpu.io.pcd import write_pcd
+    from mulls_tpu.io.dataset import read_point_cloud, write_point_cloud
 
     args, extra = build_parser().parse_known_args(argv)
     cfg = (load_flagfile(args.flagfile) if args.flagfile else MullsConfig())
@@ -218,8 +217,10 @@ def main(argv=None) -> int:
     if args.output_point_cloud_path:
         moved = src["xyz"] @ T[:3, :3].T.astype(np.float32) + \
             T[:3, 3].astype(np.float32)
-        write_pcd(args.output_point_cloud_path, moved,
-                  src.get("intensity"))
+        # extension-dispatched like the reference (`mulls_reg.cpp:199-209`
+        # -> `DataIo::write_cloud_file`): pcd/las/ply/txt/csv/bin
+        write_point_cloud(args.output_point_cloud_path, moved,
+                          src.get("intensity"))
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"transform": T.tolist(), **stats}, f, indent=2)

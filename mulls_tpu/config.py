@@ -419,6 +419,8 @@ _FLAG_MAP = {
     # mulls_reg flag-name aliases (`test/mulls_reg.cpp:24-59`): the pairwise
     # CLI names the same parameters differently from the SLAM driver
     "pca_neighbor_radius": ("feature", "cloud_pca_neigh_r", float),
+    # reg CLI spelling, typo included (`test/mulls_reg.cpp:39`)
+    "pca_distance_adpative_on": ("feature", "use_distance_adaptive_pca", bool),
     "pca_neighbor_count": ("feature", "cloud_pca_neigh_k", int),
     "corr_dis_thre": ("reg", "corr_dis_thre_init", float),
     "corr_num": ("submap", "feature_corr_num", int),

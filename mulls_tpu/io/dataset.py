@@ -200,6 +200,88 @@ class SemanticKittiDataset(FolderDataset):
         return None  # labels must ride along; use the Python pack path
 
 
+def write_point_cloud(path: str, xyz: np.ndarray,
+                      intensity: Optional[np.ndarray] = None,
+                      subsample_ratio: int = 1,
+                      geo_shift: Optional[np.ndarray] = None) -> int:
+    """Extension-dispatching writer (`DataIo::write_cloud_file`,
+    `dataio.hpp:223-287` → pcd/las/ply/txt writers :289-874).
+
+    ``subsample_ratio`` keeps every k-th point (`write_txt_file` overload,
+    `dataio.hpp:846-874`, applied to every format here).  ``geo_shift`` is
+    the reference's LAS global-shift translation (`dataio.hpp:635-768`):
+    added to the coordinates on write (LAS f64 offsets absorb it losslessly).
+    Returns the number of points written.
+    """
+    xyz = np.asarray(xyz, np.float64)[::max(1, subsample_ratio)]
+    inten = (np.asarray(intensity, np.float32)[::max(1, subsample_ratio)]
+             if intensity is not None else np.zeros(len(xyz), np.float32))
+    if geo_shift is not None:
+        xyz = xyz + np.asarray(geo_shift, np.float64)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".pcd":
+        from mulls_tpu.io.pcd import write_pcd
+        write_pcd(path, xyz.astype(np.float32), inten)
+    elif ext == ".las":
+        _write_las(path, xyz, inten)
+    elif ext == ".ply":
+        _write_ply(path, xyz, inten)
+    elif ext in (".txt", ".csv"):
+        sep = "," if ext == ".csv" else "  "
+        np.savetxt(path, xyz, fmt="%.6f", delimiter=sep)
+    elif ext == ".bin":  # KITTI layout: x y z i float32, i in [0,1]
+        np.concatenate([xyz.astype(np.float32),
+                        inten[:, None] / 255.0], axis=1).tofile(path)
+    else:
+        raise ValueError(f"unsupported output format: {ext}")
+    return len(xyz)
+
+
+def _write_las(path: str, xyz: np.ndarray, inten: np.ndarray) -> None:
+    """Minimal LAS 1.2 point-format-0 writer (scaled int32 xyz + u16
+    intensity; header layout mirrors `_read_las`)."""
+    import struct as _s
+    n = len(xyz)
+    offset = xyz.min(axis=0) if n else np.zeros(3)
+    scale = np.full(3, 1e-3)
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1  # version major
+    hdr[25] = 2  # version minor
+    _s.pack_into("<H", hdr, 94, 227)   # header size
+    _s.pack_into("<I", hdr, 96, 227)   # offset to point data
+    hdr[104] = 0                       # point data format 0
+    _s.pack_into("<H", hdr, 105, 20)   # record length
+    _s.pack_into("<I", hdr, 107, n)
+    _s.pack_into("<3d", hdr, 131, *scale)
+    _s.pack_into("<3d", hdr, 155, *offset)
+    mx, mn = (xyz.max(axis=0), xyz.min(axis=0)) if n else (offset, offset)
+    _s.pack_into("<6d", hdr, 179, mx[0], mn[0], mx[1], mn[1], mx[2], mn[2])
+    q = np.round((xyz - offset) / scale).astype("<i4")
+    rec = np.zeros((n, 20), np.uint8)
+    rec[:, 0:12] = q.astype("<i4").view(np.uint8).reshape(n, 12)
+    rec[:, 12:14] = np.clip(inten, 0, 65535).astype("<u2") \
+        .view(np.uint8).reshape(n, 2)
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(rec.tobytes())
+
+
+def _write_ply(path: str, xyz: np.ndarray, inten: np.ndarray) -> None:
+    """Binary little-endian PLY with x/y/z/intensity float properties
+    (`DataIo::write_ply_file`, `dataio.hpp:779-820`)."""
+    n = len(xyz)
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              f"element vertex {n}\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "property float intensity\nend_header\n")
+    body = np.concatenate([xyz.astype("<f4"),
+                           inten.astype("<f4")[:, None]], axis=1)
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(body.tobytes())
+
+
 def _read_las(path: str) -> dict:
     """Minimal LAS 1.2-1.4 reader (scaled int32 xyz + u16 intensity),
     Python fallback for the native `read_las`."""

@@ -126,3 +126,46 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
                                          mask=valid & desc_mask[idx])
 
     return LocalMap(clouds=new_clouds, vertex_desc=new_desc)
+
+
+# `MapManager::update_cloud_vectors` hardcoded operating point
+# (`src/map_manager.cpp:100-106`)
+_REFRESH_RADIUS = 1.8
+_REFRESH_MIN_K = 6
+_REFRESH_MIN_LINEARITY = 0.65
+_REFRESH_PILLAR_SIN = 0.80  # keep pillar if |dir_z| > sin(55 deg)
+_REFRESH_BEAM_SIN = 0.25    # keep beam  if |dir_z| < sin(15 deg)
+
+
+def refresh_linear_map_vectors(local_map: LocalMap) -> LocalMap:
+    """Re-estimate the map's linear-feature direction vectors
+    (`MapManager::update_cloud_vectors`, `src/map_manager.cpp:95-292`).
+
+    Every `local_map_recalculation_frequency` frames
+    (`mulls_slam.cpp:148,431-435`) the reference re-runs neighborhood PCA
+    on the MERGED map pillar/beam clouds — directions estimated from one
+    scan's sparse neighborhood are replaced by the denser multi-scan
+    estimate — and simultaneously CULLS points whose merged neighborhood
+    is no longer strongly linear (linearity <= 0.65) or correctly oriented
+    (pillar needs |dir_z| > 0.80, beam |dir_z| < 0.25): re-PCA doubles as
+    a map consistency filter.  Here both become one radius-moments pass
+    per class + masked selects (culled rows are compacted away by the
+    next update's re-budget gather).
+    """
+    from mulls_tpu.ops.pca import pca_features
+
+    new_clouds = dict(local_map.clouds)
+    for name, keep_gate in (("pillar",
+                             lambda dz: dz > _REFRESH_PILLAR_SIN),
+                            ("beam",
+                             lambda dz: dz < _REFRESH_BEAM_SIN)):
+        c = local_map.clouds[name]
+        f = pca_features(c.xyz, c.mask, c.xyz, c.mask,
+                         _REFRESH_RADIUS, _REFRESH_MIN_K)
+        keep = (f.valid & (f.linearity > _REFRESH_MIN_LINEARITY)
+                & keep_gate(jnp.abs(f.principal[:, 2])))
+        new_clouds[name] = c.replace(
+            normal=jnp.where(keep[:, None], f.principal, c.normal),
+            strength=jnp.where(keep, f.linearity, c.strength),
+            mask=c.mask & keep)
+    return LocalMap(clouds=new_clouds, vertex_desc=local_map.vertex_desc)

@@ -209,6 +209,16 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     local_map = update_local_map(state.local_map, frame, T_rel, dyn_max,
                                  cfg.map, k_map)
 
+    # periodic re-PCA + consistency cull of the map's pillar/beam direction
+    # vectors (`mulls_slam.cpp:431-435`, `map_manager.cpp:95-118`); lax.cond
+    # keeps the moments pass off the critical path on non-refresh frames
+    freq = cfg.map.local_map_recalculation_frequency
+    if 0 < freq < 99999:
+        from mulls_tpu.mapping.local_map import refresh_linear_map_vectors
+        local_map = jax.lax.cond(
+            (state.frame_idx + 1) % freq == 0,
+            refresh_linear_map_vectors, lambda m: m, local_map)
+
     new_state = SlamState(local_map=local_map, pose=pose,
                           T_prev=T_prev_next,
                           frame_idx=state.frame_idx + 1, key=key,

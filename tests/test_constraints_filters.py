@@ -105,3 +105,87 @@ def test_append_frame_radius_crops_map_insert(rng):
     for n in FEATURE_NAMES:
         cnt = int(np.asarray(out.clouds[n].mask).sum())
         assert cnt == 10, (n, cnt)
+
+
+def test_refresh_linear_map_vectors_recompute_and_cull():
+    """`MapManager::update_cloud_vectors` parity (`map_manager.cpp:95-292`):
+    re-PCA over the merged map replaces per-scan direction estimates and
+    culls points whose neighborhood is no longer linear / well oriented."""
+    import jax.numpy as jnp
+    from mulls_tpu.config import MapConfig, MapShapeConfig
+    from mulls_tpu.mapping.local_map import (init_local_map,
+                                             refresh_linear_map_vectors)
+
+    map_cfg = MapConfig(shapes=MapShapeConfig(
+        ground=16, pillar=128, beam=128, facade=16, roof=16, vertex=16))
+    lm = init_local_map(map_cfg)
+
+    def line(n, axis, origin, spacing=0.12):
+        pts = np.tile(np.asarray(origin, np.float32), (n, 1))
+        pts[:, axis] += spacing * np.arange(n, dtype=np.float32)
+        return pts
+
+    # pillar cloud: [0:40] vertical line (kept, direction re-estimated to
+    # +-z), [40:80] horizontal line (culled: |dir_z| < 0.80), [80:83]
+    # isolated points (culled: < 6 neighbors within 1.8 m)
+    pil = np.zeros((128, 3), np.float32)
+    pil[:40] = line(40, 2, (0.0, 0.0, 0.0))
+    pil[40:80] = line(40, 0, (10.0, 0.0, 0.0))
+    pil[80:83] = [(30, 0, 0), (40, 0, 0), (50, 0, 0)]
+    pmask = np.zeros(128, bool)
+    pmask[:83] = True
+    # seed every stored direction with garbage — refresh must overwrite it
+    pnrm = np.tile(np.asarray([1.0, 0.0, 0.0], np.float32), (128, 1))
+
+    # beam cloud: horizontal line kept, vertical line culled
+    beam = np.zeros((128, 3), np.float32)
+    beam[:40] = line(40, 1, (0.0, 20.0, 0.0))
+    beam[40:80] = line(40, 2, (20.0, 20.0, 0.0))
+    bmask = np.zeros(128, bool)
+    bmask[:80] = True
+    bnrm = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (128, 1))
+
+    lm = lm.replace(clouds={
+        **lm.clouds,
+        "pillar": lm.clouds["pillar"].replace(
+            xyz=jnp.asarray(pil), normal=jnp.asarray(pnrm),
+            mask=jnp.asarray(pmask)),
+        "beam": lm.clouds["beam"].replace(
+            xyz=jnp.asarray(beam), normal=jnp.asarray(bnrm),
+            mask=jnp.asarray(bmask)),
+    })
+    import jax
+    out = jax.jit(refresh_linear_map_vectors)(lm)
+
+    pm = np.asarray(out.clouds["pillar"].mask)
+    assert pm[:40].all(), "vertical pillar line must survive"
+    assert not pm[40:].any(), "horizontal + isolated pillar points culled"
+    dirs = np.asarray(out.clouds["pillar"].normal[:40])
+    assert np.all(np.abs(dirs[:, 2]) > 0.95), "direction re-estimated to z"
+
+    bm = np.asarray(out.clouds["beam"].mask)
+    assert bm[:40].all(), "horizontal beam line must survive"
+    assert not bm[40:].any(), "vertical beam line culled"
+    bdirs = np.asarray(out.clouds["beam"].normal[:40])
+    assert np.all(np.abs(bdirs[:, 1]) > 0.95)
+    # untouched classes keep their (empty) state
+    assert int(np.asarray(out.clouds["ground"].mask).sum()) == 0
+
+
+def test_all_reference_flagfiles_parse():
+    """Every shipped sensor/dataset config must load into the typed tree
+    (`script/config/lo_gflag_list_*.txt`, SURVEY.md §5.6)."""
+    import glob
+    from mulls_tpu.config import load_flagfile
+    files = sorted(glob.glob(
+        "/root/reference/script/config/lo_gflag_list_*.txt"))
+    if not files:
+        import pytest
+        pytest.skip("reference configs not mounted")
+    assert len(files) >= 10
+    for f in files:
+        cfg = load_flagfile(f)
+        # sanity: the values actually land (every file sets these)
+        assert cfg.reg.reg_max_iter_num_s2m > 0
+        assert cfg.map.local_map_radius > 0
+        assert 0 < cfg.map.local_map_recalculation_frequency

@@ -217,3 +217,36 @@ def test_hesai_h5_roundtrip(tmp_path):
     np.testing.assert_allclose(d["xyz"][:, 0], x.ravel())
     np.testing.assert_allclose(d["intensity"], inten.ravel())
     assert d["ts_ratio"].min() == 0.0 and abs(d["ts_ratio"].max() - 1.0) < 1e-6
+
+
+def test_write_point_cloud_all_formats_roundtrip(tmp_path, rng):
+    """`DataIo::write_cloud_file` parity (`dataio.hpp:223-874`): the
+    extension-dispatching writer round-trips through our own readers for
+    every supported format."""
+    from mulls_tpu.io.dataset import read_point_cloud, write_point_cloud
+
+    xyz = rng.uniform(-50, 50, (257, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, (257,)).astype(np.float32)
+
+    for ext, atol, with_i in (("pcd", 1e-4, True), ("las", 2e-3, True),
+                              ("ply", 1e-4, True), ("bin", 1e-4, True),
+                              ("txt", 1e-5, False), ("csv", 1e-5, False)):
+        path = str(tmp_path / f"cloud.{ext}")
+        n = write_point_cloud(path, xyz, inten)
+        assert n == 257
+        back = read_point_cloud(path)
+        assert np.allclose(back["xyz"], xyz, atol=atol), ext
+        if with_i:
+            assert np.allclose(back["intensity"], np.round(inten)
+                               if ext == "las" else inten, atol=1.0), ext
+
+    # subsample ratio (`dataio.hpp:846-874`) + LAS geo-shift
+    # (`dataio.hpp:635-768`)
+    path = str(tmp_path / "sub.las")
+    n = write_point_cloud(path, xyz, inten, subsample_ratio=4,
+                          geo_shift=np.asarray([1000.0, -500.0, 10.0]))
+    assert n == len(xyz[::4])
+    back = read_point_cloud(path)
+    assert np.allclose(back["xyz"],
+                       xyz[::4] + np.asarray([1000, -500, 10], np.float32),
+                       atol=2e-3)
