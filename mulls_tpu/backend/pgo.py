@@ -42,6 +42,12 @@ class PoseGraph(NamedTuple):
     edge_info: jnp.ndarray  # [E, 6, 6] information matrix
     edge_mask: jnp.ndarray  # [E] bool
     fixed: jnp.ndarray  # [M] bool (frozen nodes)
+    # per-node parameter bounds around the INITIAL pose, the reference's
+    # ceres SetParameter{Lower,Upper}Bound trick (`graph_optimizer.cpp:
+    # 594-657`): stable nodes move at most +-t_limit / +-r_limit, free
+    # nodes get linearly-growing limits.  None = unbounded.
+    t_limit: jnp.ndarray = None  # [M] f32 meters (per component)
+    r_limit: jnp.ndarray = None  # [M] f32 quaternion-component bound
 
     @property
     def num_nodes(self) -> int:
@@ -77,6 +83,32 @@ def _edge_residual(dt_a, dq_a, dt_b, dq_b, ta, qa, tb, qb, t_meas, q_meas):
 
 
 _zero6 = jnp.zeros((3,), jnp.float32)
+
+
+def _clamp_to_bounds(t_new, q_new, init_t, init_q, t_limit, r_limit):
+    """Pull node poses back inside their per-node bounds around the initial
+    values (ceres `fix_node_ceres` equivalent, `graph_optimizer.cpp:
+    639-657`).  Translation bounds are per-component, exactly like ceres;
+    a quaternion-component bound of r caps the rotation angle from the
+    initial orientation at ~2r (small-angle), so the rotation deviation is
+    capped in the tangent space."""
+    if t_limit is not None:
+        off = jnp.clip(t_new - init_t, -t_limit[:, None], t_limit[:, None])
+        t_new = init_t + off
+    if r_limit is not None:
+        dq = se3.quat_mul(q_new, se3.quat_conj(init_q))
+        dq = dq * jnp.sign(jnp.where(dq[:, :1] == 0.0, 1.0, dq[:, :1]))
+        vn = jnp.linalg.norm(dq[:, 1:4], axis=-1)
+        ang = 2.0 * jnp.arctan2(vn, dq[:, 0])
+        cap = 2.0 * r_limit
+        scale = jnp.minimum(1.0, cap / jnp.maximum(ang, 1e-9))
+        half = 0.5 * ang * scale
+        axis = dq[:, 1:4] / jnp.maximum(vn, 1e-12)[:, None]
+        dq_c = jnp.concatenate([jnp.cos(half)[:, None],
+                                jnp.sin(half)[:, None] * axis], axis=1)
+        q_c = se3.quat_mul(dq_c, init_q)
+        q_new = q_c / jnp.linalg.norm(q_c, axis=-1, keepdims=True)
+    return t_new, q_new
 
 
 def _edge_res_and_jac(ta, qa, tb, qb, t_meas, q_meas):
@@ -164,6 +196,9 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
         q_new = se3.quat_mul(dq, node_q)
         q_new = q_new / jnp.linalg.norm(q_new, axis=-1, keepdims=True)
         t_new = node_t + delta[:, :3]
+        t_new, q_new = _clamp_to_bounds(t_new, q_new, graph.node_t,
+                                        graph.node_q, graph.t_limit,
+                                        graph.r_limit)
         chi2 = jnp.sum(rW * rW)
         return (t_new, q_new), chi2
 
@@ -212,8 +247,10 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
     m = graph.num_nodes
     sqrt_info = _sqrt_psd(graph.edge_info)
 
+    has_bounds = graph.t_limit is not None
+
     def step_fn(node_t, node_q, edge_i, edge_j, edge_t, edge_q, sqrt_i,
-                edge_mask, fixed):
+                edge_mask, fixed, t_limit, r_limit):
         def one_iter(state, _):
             t, q = state
             r, Ja, Jb = jax.vmap(_edge_res_and_jac)(
@@ -245,7 +282,11 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
                                   0.5 * delta[:, 3:6]], axis=1)
             q_new = se3.quat_mul(dq, q)
             q_new = q_new / jnp.linalg.norm(q_new, axis=-1, keepdims=True)
-            return (t + delta[:, :3], q_new), chi2
+            t_new = t + delta[:, :3]
+            if has_bounds:
+                t_new, q_new = _clamp_to_bounds(
+                    t_new, q_new, node_t, node_q, t_limit, r_limit)
+            return (t_new, q_new), chi2
 
         (t, q), chi2s = jax.lax.scan(one_iter, (node_t, node_q), None,
                                      length=iterations)
@@ -261,10 +302,13 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
     sharded = jax.shard_map(
         step_fn, mesh=mesh,
         in_specs=(P_(), P_(), P_(axis), P_(axis), P_(axis), P_(axis),
-                  P_(axis), P_(axis), P_()),
+                  P_(axis), P_(axis), P_(), P_(), P_()),
         out_specs=(P_(), P_(), P_()),
         check_vma=False)
     fn = jax.jit(sharded)
+    zero = jnp.zeros((m,), jnp.float32)  # placeholder when unbounded
     return fn(graph.node_t, graph.node_q, graph.edge_i, graph.edge_j,
               graph.edge_t, graph.edge_q, sqrt_info, graph.edge_mask,
-              graph.fixed)
+              graph.fixed,
+              graph.t_limit if has_bounds else zero,
+              graph.r_limit if has_bounds else zero)

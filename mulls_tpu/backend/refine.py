@@ -54,7 +54,9 @@ def _adjacent_edges(poses_odom: np.ndarray, lo: int, hi: int):
 
 def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
                         boundaries: Sequence[Tuple[int, int]],
-                        iterations: int = 15) -> np.ndarray:
+                        iterations: int = 15,
+                        t_limit: float = 0.0,
+                        r_limit: float = 0.0) -> np.ndarray:
     """Refine interior frame poses submap by submap.
 
     Args:
@@ -76,6 +78,13 @@ def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
         m = hi - lo + 1
         fixed = np.zeros(m, bool)
         fixed[0] = fixed[-1] = True
+        # ceres-style growing bounds from the fixed start frame
+        # (`--inner_submap_t_limit/-r_limit`, `mulls_slam.cpp:911-915`)
+        tl = rl = None
+        if t_limit > 0:
+            k = np.arange(m, dtype=np.float32)
+            tl = jnp.asarray(k * t_limit)
+            rl = jnp.asarray(k * r_limit)
         graph = PoseGraph(
             node_t=jnp.asarray(t), node_q=jnp.asarray(q),
             edge_i=jnp.asarray(ei - lo, jnp.int32),
@@ -84,7 +93,8 @@ def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
             edge_info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32),
                                        (m - 1, 6, 6)),
             edge_mask=jnp.ones(m - 1, bool),
-            fixed=jnp.asarray(fixed))
+            fixed=jnp.asarray(fixed),
+            t_limit=tl, r_limit=rl)
         nt, nq, _ = optimize_pose_graph(graph, iterations=iterations)
         out[lo:hi + 1] = _tq_to_poses(np.asarray(nt), np.asarray(nq))
     return out

@@ -52,6 +52,10 @@ class Submap:
     center: np.ndarray = field(default=None)
     bbx_min: np.ndarray = field(default=None)
     bbx_max: np.ndarray = field(default=None)
+    # pose confirmed by a successful PGO (`pose_stable`,
+    # `utility.hpp:260`, set for all submaps at `mulls_slam.cpp:620-621`);
+    # stable nodes get tight ceres-style bounds in later optimizations
+    stable: bool = False
 
     def compute_bounds(self):
         pts = []
@@ -367,6 +371,29 @@ class SlamBackend:
         reg_targets = [ed.i for ed in active if ed.kind == REG_EDGE]
         if reg_targets:
             fixed[:min(reg_targets)] = True
+        # per-node parameter bounds (`set_pgo_problem_ceres`,
+        # `graph_optimizer.cpp:594-629`): PGO-confirmed ("stable") nodes
+        # move at most +-inter_submap_{t,r}_limit; unconfirmed nodes get a
+        # limit growing linearly with their distance from the last stable
+        # node.  --free_node_on removes the bounds (`mulls_slam.cpp:191`).
+        t_limit = r_limit = None
+        if not self.cfg.submap.free_node_on:
+            t_lim = np.full(m, np.inf, np.float32)
+            r_lim = np.full(m, np.inf, np.float32)
+            t0 = self.cfg.submap.inter_submap_t_limit
+            r0 = self.cfg.submap.inter_submap_r_limit
+            stable_index = 0
+            for i in range(m):
+                if fixed[i]:
+                    continue  # pinned by the freeze mask already
+                if self.submaps[i].stable:
+                    t_lim[i], r_lim[i] = t0, r0
+                    stable_index = i
+                else:
+                    k = i - stable_index
+                    t_lim[i], r_lim[i] = k * t0, k * r0
+            t_limit = jnp.asarray(t_lim)
+            r_limit = jnp.asarray(r_lim)
         return PoseGraph(
             node_t=jnp.asarray(node_t), node_q=jnp.asarray(node_q),
             edge_i=jnp.asarray([ed.i for ed in active], jnp.int32),
@@ -374,7 +401,8 @@ class SlamBackend:
             edge_t=jnp.asarray(edge_t), edge_q=jnp.asarray(edge_q),
             edge_info=jnp.asarray(info),
             edge_mask=jnp.ones(e, bool),
-            fixed=jnp.asarray(fixed)), active
+            fixed=jnp.asarray(fixed),
+            t_limit=t_limit, r_limit=r_limit), active
 
     def optimize(self) -> Optional[np.ndarray]:
         """PGO + wrong-edge veto (`graph_optimizer.cpp:713-754`).
@@ -405,6 +433,7 @@ class SlamBackend:
         poses[:, :3, 3] = t
         for s, p in zip(self.submaps, poses):
             s.pose = p.copy()
+            s.stable = True  # confirmed by PGO (`mulls_slam.cpp:620-621`)
             # keep world-frame center/bbx in sync with the corrected pose —
             # later loop-candidate gates compare them against NEW submaps
             # (`update_optimized_nodes` recomputes bbx, graph_optimizer

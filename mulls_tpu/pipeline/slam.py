@@ -179,5 +179,7 @@ class SlamPipeline:
         bounds = [(s.frame_begin, s.frame_end) for s in backend.submaps]
         res.poses = inner_submap_refine(
             res.poses, res.poses_odom, bounds,
-            iterations=self.cfg.submap.inner_refine_max_iter)
+            iterations=self.cfg.submap.inner_refine_max_iter,
+            t_limit=self.cfg.submap.inner_submap_t_limit,
+            r_limit=self.cfg.submap.inner_submap_r_limit)
         return res.poses

@@ -268,3 +268,36 @@ def test_coarse_reg_bev_recovers_large_offset(rng):
     assert abs(T[2, 3] - t[2]) < 1.0
     cos_err = (np.trace(T[:3, :3] @ R.T) - 1) / 2
     assert np.degrees(np.arccos(np.clip(cos_err, -1, 1))) < 4.0
+
+
+def test_pgo_node_bounds_clamp_updates(rng):
+    """Ceres parameter-bound parity (`graph_optimizer.cpp:594-657`): a
+    bounded node cannot move further than its per-node limit from its
+    initial pose, per translation component and in rotation angle."""
+    graph, gt_t = _chain_graph(rng)
+    m = graph.num_nodes
+    init_t = np.asarray(graph.node_t)
+
+    # unbounded solve moves late nodes well beyond 0.05 m
+    t_free, _, _ = optimize_pose_graph(graph, iterations=25)
+    moved = np.abs(np.asarray(t_free) - init_t).max(axis=1)
+    assert moved[1:].max() > 0.05
+
+    lim = np.full(m, 0.05, np.float32)
+    g_b = graph._replace(t_limit=jnp.asarray(lim),
+                         r_limit=jnp.asarray(np.full(m, 0.01, np.float32)))
+    t_b, q_b, _ = optimize_pose_graph(g_b, iterations=25)
+    off = np.abs(np.asarray(t_b) - init_t)
+    assert off.max() <= 0.05 + 1e-5
+    # rotation deviation capped at ~2*r_limit radians
+    qd = np.asarray(q_b) * np.asarray(graph.node_q)  # both near identity
+    ang = 2 * np.arccos(np.clip(np.abs(np.asarray(q_b)[:, 0]), 0, 1))
+    assert ang.max() <= 2 * 0.01 + 1e-4
+
+    # infinite bounds reproduce the unbounded solution
+    g_inf = graph._replace(
+        t_limit=jnp.full((m,), np.inf, jnp.float32),
+        r_limit=jnp.full((m,), np.inf, jnp.float32))
+    t_inf, _, _ = optimize_pose_graph(g_inf, iterations=25)
+    np.testing.assert_allclose(np.asarray(t_inf), np.asarray(t_free),
+                               atol=1e-3)
