@@ -409,11 +409,31 @@ class SlamBackend:
         On success updates submap poses and returns them [S, 4, 4]."""
         s_cfg = self.cfg.submap
         graph, active = self.build_graph()
+        # --pose_graph_optimization_method selects the solver profile of
+        # the corresponding reference backend (`graph_optimizer.h:181-186`,
+        # `mulls_slam.cpp:597-613`) — all three solve the same quaternion
+        # BetweenFactor problem on device, differing in node handling and
+        # robustification exactly like the originals:
+        #   ceres  — parameter-bound node limiting + pgo_param_t options
+        #            (`graph_optimizer.cpp:481-657`)
+        #   g2o    — hard-fixed anchors only (no bounds trick) with Huber
+        #            robust kernels on every edge (:143-384, :275-277)
+        #   gtsam  — iSAM-style plain GN, no bounds, no robust kernel
+        #            (:852-1040; marked not-passing upstream)
+        method = s_cfg.pose_graph_optimization_method.lower()
+        if method == "g2o":
+            graph = graph._replace(t_limit=None, r_limit=None)
+            robust = True
+        elif method == "gtsam":
+            graph = graph._replace(t_limit=None, r_limit=None)
+            robust = False
+        else:
+            robust = s_cfg.robust_kernel_on
         t, q, chi2 = optimize_pose_graph(
             graph, iterations=s_cfg.pgo_max_iter,
             equal_weight=s_cfg.equal_weight_on,
             diagonal_information=s_cfg.diagonal_information_matrix_on,
-            robust_kernel=s_cfg.robust_kernel_on)
+            robust_kernel=robust)
         bad = np.asarray(wrong_edge_check(graph, t, q,
                                           s_cfg.wrong_edge_tran_thre,
                                           s_cfg.wrong_edge_rot_thre_deg))

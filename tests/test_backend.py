@@ -301,3 +301,52 @@ def test_pgo_node_bounds_clamp_updates(rng):
     t_inf, _, _ = optimize_pose_graph(g_inf, iterations=25)
     np.testing.assert_allclose(np.asarray(t_inf), np.asarray(t_free),
                                atol=1e-3)
+
+
+def _mini_backend(method="ceres"):
+    """Hand-built SlamBackend: 5 submaps on a line with drift, adjacent
+    edges from odometry, one exact loop edge 4 -> 0."""
+    import dataclasses as _dc
+    from mulls_tpu.config import MullsConfig
+    from mulls_tpu.backend.submap import (ADJACENT_EDGE, REG_EDGE, Edge,
+                                          SlamBackend, Submap)
+    from mulls_tpu.core.cloud import FEATURE_NAMES, FeatureCloud
+
+    cfg = MullsConfig()
+    cfg = cfg.replace(submap=_dc.replace(
+        cfg.submap, pose_graph_optimization_method=method,
+        pgo_max_iter=25))
+    be = SlamBackend(cfg)
+    clouds = {n: FeatureCloud.empty(8) for n in FEATURE_NAMES}
+    gt = np.asarray([[k * 5.0, 0, 0] for k in range(5)])
+    drift = np.asarray([[0, 0, 0], [0, .2, 0], [0, .5, 0],
+                        [0, .9, 0], [0, 1.4, 0]])
+    for k in range(5):
+        p = np.eye(4)
+        p[:3, 3] = gt[k] + drift[k]
+        s = Submap(sid=k, pose=p, clouds=clouds, descriptors=None,
+                   frame_begin=k, frame_end=k)
+        s.compute_bounds()
+        be.submaps.append(s)
+    for k in range(4):
+        T = np.eye(4)
+        T[:3, 3] = (gt[k + 1] + drift[k + 1]) - (gt[k] + drift[k])
+        be.edges.append(Edge(i=k, j=k + 1, T=T, info=np.eye(6),
+                             kind=ADJACENT_EDGE))
+    T_loop = np.eye(4)
+    T_loop[:3, 3] = gt[4] - gt[0]  # exact measurement
+    be.edges.append(Edge(i=0, j=4, T=T_loop, info=10 * np.eye(6),
+                         kind=REG_EDGE))
+    return be, gt
+
+
+@pytest.mark.parametrize("method", ["ceres", "g2o", "gtsam"])
+def test_backend_pgo_method_profiles(method):
+    """All three solver profiles (`graph_optimizer.h:181-186`) correct the
+    drift and pass the wrong-edge veto."""
+    be, gt = _mini_backend(method)
+    poses = be.optimize()
+    assert poses is not None, "PGO rejected"
+    err = np.linalg.norm(poses[:, :3, 3] - gt, axis=1)
+    assert err[-1] < 0.35, err  # loop edge pulls the end node home
+    assert all(s.stable for s in be.submaps)
