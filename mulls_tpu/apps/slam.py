@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="radius-outlier filter the assembled map (0|1)")
     p.add_argument("--output_map_bev", default=None,
                    help="write a birds-eye height image of the map")
+    p.add_argument("--output_map_html", default=None,
+                   help="write a standalone interactive WebGL viewer "
+                        "(map + trajectory + pose-graph overlay — the "
+                        "headless MapViewer replacement)")
     p.add_argument("--map_voxel_size", type=float, default=0.25)
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax profiler trace of the run")
@@ -121,6 +125,8 @@ def _export_features(ds, cfg, frame_idx: int, out_dir: str) -> None:
     frame = jax.jit(extract_features, static_argnames=("cfg",))(
         raw, cfg, jax.random.key(0))
     os.makedirs(out_dir, exist_ok=True)
+    all_xyz, all_cls, all_i = [], [], []
+    from mulls_tpu.viz.html_viewer import CLASS_NAMES
     for name, cloud in frame.full.items():
         m = np.asarray(cloud.mask)
         write_pcd(os.path.join(out_dir, f"{frame_idx:06d}_{name}.pcd"),
@@ -128,6 +134,16 @@ def _export_features(ds, cfg, frame_idx: int, out_dir: str) -> None:
                   intensity=np.asarray(cloud.intensity)[m],
                   normals=np.asarray(cloud.normal)[m])
         print(f"[mulls_tpu] {name}: {int(m.sum())} pts")
+        all_xyz.append(np.asarray(cloud.xyz)[m])
+        all_cls.append(np.full(int(m.sum()), CLASS_NAMES.index(name)
+                               if name in CLASS_NAMES else 0, np.uint8))
+        all_i.append(np.asarray(cloud.intensity)[m])
+    # interactive single-frame feature view (class-colored WebGL)
+    from mulls_tpu.viz import export_html_viewer
+    export_html_viewer(
+        os.path.join(out_dir, f"{frame_idx:06d}_features.html"),
+        np.concatenate(all_xyz), np.concatenate(all_cls),
+        np.concatenate(all_i), title=f"frame {frame_idx} features")
 
 
 def main(argv=None) -> int:
@@ -265,7 +281,8 @@ def main(argv=None) -> int:
         os.makedirs(args.output_map_point_cloud_folder_path, exist_ok=True)
         args.output_map_pcd = os.path.join(
             args.output_map_point_cloud_folder_path, "merged_map.pcd")
-    if args.output_map_pcd or args.output_map_bev or args.write_map_each_frame:
+    if (args.output_map_pcd or args.output_map_bev or args.output_map_html
+            or args.write_map_each_frame):
         from mulls_tpu.mapping.assembly import (accumulate_map,
                                                 radius_outlier_filter,
                                                 write_map_outputs)
@@ -286,7 +303,7 @@ def main(argv=None) -> int:
                 write_pcd(os.path.join(
                     args.output_map_point_cloud_folder_path,
                     f"{i:06d}.pcd"), moved)
-        if args.output_map_pcd or args.output_map_bev:
+        if args.output_map_pcd or args.output_map_bev or args.output_map_html:
             pts = accumulate_map(ds, map_poses,
                                  voxel_res=args.map_voxel_size,
                                  downrate=args.map_downrate_output)
@@ -294,6 +311,21 @@ def main(argv=None) -> int:
                 pts = radius_outlier_filter(pts)
             write_map_outputs(pts, args.output_map_pcd, args.output_map_bev)
             print(f"[mulls_tpu] map assembled: {len(pts)} points")
+            if args.output_map_html:
+                from mulls_tpu.viz import export_html_viewer
+                # pose-graph edges anchored at each submap's first frame
+                traj = map_poses[:, :3, 3]
+                edges = None
+                if backend is not None and backend.edges:
+                    anchor = [min(s.frame_begin, len(traj) - 1)
+                              for s in backend.submaps]
+                    edges = [(anchor[e.i], anchor[e.j], e.kind)
+                             for e in backend.edges if e.kind >= 1]
+                n_emb = export_html_viewer(
+                    args.output_map_html, pts, trajectory=traj, edges=edges,
+                    title=os.path.basename(args.point_cloud_folder or "run"))
+                print(f"[mulls_tpu] viewer ({n_emb} pts) -> "
+                      f"{args.output_map_html}")
 
     if gt_body is not None:
         m = min(len(gt_body), len(poses_body))

@@ -114,3 +114,51 @@ def test_occupancy_2d_map():
     empty = occupancy_2d_map(wall + [0, 0, 100.0], m2pix=2.0,
                              map_width=64, map_height=64)
     assert empty.min() == 255
+
+
+def test_html_viewer_export_roundtrip(tmp_path, rng):
+    """The WebGL viewer (headless MapViewer replacement) embeds a
+    decodable payload: class-sorted points, consistent draw-range offsets,
+    trajectory + typed pose-graph edges."""
+    import base64
+    import json
+    import re
+    from mulls_tpu.viz import export_html_viewer
+    from mulls_tpu.viz.html_viewer import CLASS_NAMES
+
+    n = 5000
+    xyz = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    cls = rng.integers(0, 7, n).astype(np.uint8)
+    inten = rng.integers(0, 256, n).astype(np.uint8)
+    traj = np.cumsum(rng.normal(size=(40, 3)), 0).astype(np.float32)
+    edges = [(0, 10, 1), (5, 35, 2)]
+    path = str(tmp_path / "v.html")
+    n_out = export_html_viewer(path, xyz, cls, inten, traj, edges,
+                               title="t")
+    assert n_out == n
+    html = open(path).read()
+    m = re.search(r"const D = (\{.*?\});\n", html, re.S)
+    assert m, "payload not found"
+    D = json.loads(m.group(1))
+    assert D["n"] == n and D["classNames"] == list(CLASS_NAMES)
+
+    got_xyz = np.frombuffer(base64.b64decode(D["xyz"]),
+                            np.float32).reshape(-1, 3)
+    got_cls = np.frombuffer(base64.b64decode(D["cls"]), np.uint8)
+    got_tr = np.frombuffer(base64.b64decode(D["traj"]),
+                           np.float32).reshape(-1, 3)
+    # points are the same set, sorted by class
+    assert np.all(np.diff(got_cls.astype(int)) >= 0)
+    order = np.argsort(cls, kind="stable")
+    np.testing.assert_array_equal(got_xyz, xyz[order])
+    # offsets are the class draw ranges
+    off = D["offsets"]
+    for k in range(7):
+        assert off[k + 1] - off[k] == int((cls == k).sum())
+        assert np.all(got_cls[off[k]:off[k + 1]] == k)
+    np.testing.assert_array_equal(got_tr, traj)
+    assert D["edges"] == [[0, 10, 1], [5, 35, 2]]
+    assert D["radius"] > 0
+    # the html is self-contained: no external fetches
+    assert "http://" not in html and "https://" not in html
+    assert html.count("<script>") == 1 and html.count("</script>") == 1
