@@ -41,6 +41,18 @@ if _plat:
     except Exception:
         pass
 
+# Persist compiled programs across processes unless the user chose a cache
+# dir: a cold compile of the fused SLAM step on a remote/tunneled TPU is
+# minutes, warm is seconds.  Keyed per backend so CPU and TPU artifacts
+# don't collide.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _tag = "cpu" if (_plat or "").startswith("cpu") else "dev"
+    try:
+        _jax.config.update("jax_compilation_cache_dir",
+                           f"/tmp/mulls_jax_cache_{_tag}")
+    except Exception:
+        pass
+
 # Geometry everywhere: distances, covariances and normal equations need f32
 # accumulation.  TPU matmuls default to bf16 inputs, which costs ~0.4 m of
 # coordinate resolution at 100 m range — unacceptable for 0.7 m neighborhoods.

@@ -102,6 +102,7 @@ class MultiSeqPipeline:
                 print(f"[multiseq {i}/{n_max}] x{S} sequences", flush=True)
 
         jax.block_until_ready(states.pose)
+        # ONE D2H for the whole run (see pipeline/odometry.py)
         vecs = np.asarray(jnp.concatenate(vec_parts, axis=1))  # [S, N, 16]
         results = []
         for s in range(S):

@@ -155,6 +155,7 @@ class BaselinePipeline:
                 print(f"[{done}/{n}] segment dispatched", flush=True)
         jax.block_until_ready(state.pose)
 
+        # ONE D2H for the whole run (see pipeline/odometry.py)
         vecs = np.asarray(jnp.concatenate(vec_parts)) \
             if vec_parts else np.zeros((0, 16), np.float32)
         T_rels, fit, cod, _, _ = StepOut.unpack_vecs(vecs)

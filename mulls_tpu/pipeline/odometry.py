@@ -396,7 +396,11 @@ class OdometryPipeline:
 
         jax.block_until_ready(state.pose)
 
-        # single D2H for the whole run's packed outputs
+        # ONE D2H for the whole run's packed outputs: on the tunneled chip
+        # every device->host transfer pays a full RTT and the first one can
+        # wedge the link, so a single device-side concatenate (compiled
+        # once, persisted by the compilation cache) beats per-segment
+        # fetches
         vecs = np.asarray(jnp.concatenate(vec_parts)) \
             if vec_parts else np.zeros((0, 16), np.float32)
         T_rels, sig, cod, _, _ = StepOut.unpack_vecs(vecs)
