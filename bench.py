@@ -15,9 +15,9 @@ import time
 
 import numpy as np
 
-# persist remote-TPU compiles across bench runs (a cold fused-step compile
-# on the tunneled chip is minutes; warm is seconds)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# remote-TPU compiles persist across bench runs via the per-uid
+# compilation cache mulls_tpu/__init__.py configures (cold fused-step
+# compile on the tunneled chip is minutes; warm is seconds)
 
 
 def main():

@@ -46,10 +46,17 @@ if _plat:
 # minutes, warm is seconds.  Keyed per backend so CPU and TPU artifacts
 # don't collide.
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # per-platform-selection tag (cpu runs and accelerator runs produce
+    # different artifacts) AND per-uid (a fixed world-shared /tmp path
+    # would be unwritable for the second user and a poisoning vector)
     _tag = "cpu" if (_plat or "").startswith("cpu") else "dev"
     try:
+        _uid = _os.getuid()
+    except Exception:
+        _uid = 0
+    try:
         _jax.config.update("jax_compilation_cache_dir",
-                           f"/tmp/mulls_jax_cache_{_tag}")
+                           f"/tmp/mulls_jax_cache_u{_uid}_{_tag}")
     except Exception:
         pass
 

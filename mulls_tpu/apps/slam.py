@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timing_report_file", default=None)
     p.add_argument("--evaluation_file", default=None)
     p.add_argument("--progress", action="store_true")
-    p.add_argument("--loop_closure_detection_on", type=int, default=None,
+    p.add_argument("--loop_closure_detection_on", type=gflag_bool,
+                   default=None,
                    help="override the flagfile's loop-closure switch (0|1)")
     p.add_argument("--baseline_reg_method", default="",
                    help="replace MULLS-ICP with a baseline: ndt | gicp")
@@ -86,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "--output_map_point_cloud_folder_path")
     p.add_argument("--output_map_point_cloud_folder_path",
                    default="map_out")
-    p.add_argument("--map_filter_on", type=int, default=1,
+    p.add_argument("--map_filter_on", type=gflag_bool, default=1,
                    help="radius-outlier filter the assembled map (0|1)")
     p.add_argument("--output_map_bev", default=None,
                    help="write a birds-eye height image of the map")

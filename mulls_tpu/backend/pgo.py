@@ -247,7 +247,7 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
     m = graph.num_nodes
     sqrt_info = _sqrt_psd(graph.edge_info)
 
-    has_bounds = graph.t_limit is not None
+    has_bounds = (graph.t_limit is not None) or (graph.r_limit is not None)
 
     def step_fn(node_t, node_q, edge_i, edge_j, edge_t, edge_q, sqrt_i,
                 edge_mask, fixed, t_limit, r_limit):
@@ -306,9 +306,9 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
         out_specs=(P_(), P_(), P_()),
         check_vma=False)
     fn = jax.jit(sharded)
-    zero = jnp.zeros((m,), jnp.float32)  # placeholder when unbounded
+    inf = jnp.full((m,), jnp.inf, jnp.float32)  # unbounded placeholder
     return fn(graph.node_t, graph.node_q, graph.edge_i, graph.edge_j,
               graph.edge_t, graph.edge_q, sqrt_info, graph.edge_mask,
               graph.fixed,
-              graph.t_limit if has_bounds else zero,
-              graph.r_limit if has_bounds else zero)
+              graph.t_limit if graph.t_limit is not None else inf,
+              graph.r_limit if graph.r_limit is not None else inf)

@@ -79,12 +79,15 @@ def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
         fixed = np.zeros(m, bool)
         fixed[0] = fixed[-1] = True
         # ceres-style growing bounds from the fixed start frame
-        # (`--inner_submap_t_limit/-r_limit`, `mulls_slam.cpp:911-915`)
+        # (`--inner_submap_t_limit/-r_limit`, `mulls_slam.cpp:911-915`);
+        # a non-positive limit leaves that component unbounded
         tl = rl = None
-        if t_limit > 0:
+        if t_limit > 0 or r_limit > 0:
             k = np.arange(m, dtype=np.float32)
-            tl = jnp.asarray(k * t_limit)
-            rl = jnp.asarray(k * r_limit)
+            tl = jnp.asarray(k * t_limit if t_limit > 0
+                             else np.full(m, np.inf, np.float32))
+            rl = jnp.asarray(k * r_limit if r_limit > 0
+                             else np.full(m, np.inf, np.float32))
         graph = PoseGraph(
             node_t=jnp.asarray(t), node_q=jnp.asarray(q),
             edge_i=jnp.asarray(ei - lo, jnp.int32),

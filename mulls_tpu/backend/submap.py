@@ -385,6 +385,10 @@ class SlamBackend:
             stable_index = 0
             for i in range(m):
                 if fixed[i]:
+                    # a frozen node anchors the growth, exactly like the
+                    # reference's stable_index = min_index_for_loop
+                    # (`graph_optimizer.cpp:583-588`)
+                    stable_index = i
                     continue  # pinned by the freeze mask already
                 if self.submaps[i].stable:
                     t_lim[i], r_lim[i] = t0, r0

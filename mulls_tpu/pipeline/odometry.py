@@ -210,8 +210,11 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
                                  cfg.map, k_map)
 
     # periodic re-PCA + consistency cull of the map's pillar/beam direction
-    # vectors (`mulls_slam.cpp:431-435`, `map_manager.cpp:95-118`); lax.cond
-    # keeps the moments pass off the critical path on non-refresh frames
+    # vectors (`mulls_slam.cpp:431-435`, `map_manager.cpp:95-118`).  In the
+    # single-sequence pipelines lax.cond keeps the moments pass off the
+    # critical path on non-refresh frames; under the multiseq vmap the cond
+    # lowers to select (both branches run every frame) — acceptable, the
+    # refresh is <1% of the fused step's FLOPs vs the ICP iterations
     freq = cfg.map.local_map_recalculation_frequency
     if 0 < freq < 99999:
         from mulls_tpu.mapping.local_map import refresh_linear_map_vectors

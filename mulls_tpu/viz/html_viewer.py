@@ -90,7 +90,10 @@ def export_html_viewer(path: str,
 
     traj = (np.asarray(trajectory, np.float32).reshape(-1, 3)
             if trajectory is not None else np.zeros((0, 3), np.float32))
-    edge_list = [[int(i), int(j), int(k)] for (i, j, k) in (edges or [])]
+    # edges index into the trajectory — silently-garbage WebGL vertices are
+    # the alternative, so drop anything out of range here
+    edge_list = [[int(i), int(j), int(k)] for (i, j, k) in (edges or [])
+                 if 0 <= int(i) < len(traj) and 0 <= int(j) < len(traj)]
 
     payload = {
         "n": int(n),

@@ -1,0 +1,219 @@
+"""Synthetic closed-loop accuracy benchmark.
+
+No KITTI sequences ship in this container, so this tool provides the
+drift evidence at trajectory scale: a procedurally generated urban block
+(ground / building facades / lamppost pillars — the feature classes the
+extractor keys on), a multi-hundred-frame rectangular loop with known
+ground truth, and a run of BOTH pipelines:
+
+  * odometry only         (KITTI-style translational drift %, ATE)
+  * SLAM w/ loop closure  (same metrics after PGO + inner refinement)
+
+Mirrors the reference's own evaluation protocol (`OdomErrorCompute`,
+`include/nav/odom_error_compute.h:85-244`) on synthetic ground truth.
+
+Usage:  python tools/synthetic_accuracy_bench.py [--frames 420]
+            [--platform tpu|cpu] [--json_out path]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_world(rng, half: float = 120.0) -> np.ndarray:
+    """City block: ground plane, building walls on a street grid, posts."""
+    pts = []
+    # ground, ~6 pts/m^2 over the drivable area
+    n_g = 900_000
+    pts.append(np.stack([
+        rng.uniform(-half, half, n_g), rng.uniform(-half, half, n_g),
+        0.04 * rng.normal(size=n_g) - 1.73], -1))
+    # buildings: walls along a 60 m grid, height 4-14 m, leave street gaps
+    for cx in (-60.0, 0.0, 60.0):
+        for cy in (-60.0, 0.0, 60.0):
+            w = 22.0  # half building width; streets are ~16 m wide
+            h = float(rng.uniform(4.0, 14.0))
+            n_w = 26_000
+            side = rng.integers(0, 4, n_w)
+            u = rng.uniform(-w, w, n_w)
+            d = np.full(n_w, w) + 0.03 * rng.normal(size=n_w)
+            wx = cx + np.where(side == 0, d, np.where(side == 1, -d, u))
+            wy = cy + np.where(side < 2, u, np.where(side == 2, d, -d))
+            pts.append(np.stack(
+                [wx, wy, rng.uniform(-1.5, h, n_w)], -1))
+    # lampposts along the streets every ~9 m
+    xs = np.arange(-half + 6, half, 9.0)
+    posts = []
+    for x in xs:
+        for lane in (-31.0, -29.0, 29.0, 31.0):
+            posts.append((x, lane))
+            posts.append((lane, x))
+    per = 90
+    for (px, py) in posts:
+        z = np.linspace(-1.6, 4.2, per)
+        posts_xyz = np.stack([
+            px + 0.015 * rng.normal(size=per),
+            py + 0.015 * rng.normal(size=per), z], -1)
+        pts.append(posts_xyz)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def loop_trajectory(n_frames: int, step: float = 0.8):
+    """Rounded-rectangle loop in the street lanes around the center block:
+    straight segments + quarter-circle corner arcs (r = 8 m, ~9 deg/frame
+    peak yaw rate — a vehicle turn, not a pirouette)."""
+    L, r = 30.0, 8.0
+    straight = 2 * (L - r)
+    arc = 0.5 * np.pi * r
+    total = 4 * (straight + arc)
+
+    def at(sd):
+        """(x, y, yaw) at arc-length sd along the loop, counterclockwise
+        starting at (-L + r, -L) heading +x."""
+        sd = sd % total
+        quarter = straight + arc
+        edge = int(sd // quarter)
+        f = sd - edge * quarter
+        if f <= straight:  # straight part
+            d = f - (L - r)  # -.. to +.. along the edge center
+            if edge == 0:
+                return (d, -L, 0.0)
+            if edge == 1:
+                return (L, d, np.pi / 2)
+            if edge == 2:
+                return (-d, L, np.pi)
+            return (-L, -d, -np.pi / 2)
+        a = (f - straight) / r  # 0..pi/2 along the corner arc
+        base = edge * np.pi / 2
+        cx = [(L - r, -L + r), (L - r, L - r),
+              (-L + r, L - r), (-L + r, -L + r)][edge]
+        ang = base - np.pi / 2 + a
+        return (cx[0] + r * np.cos(ang), cx[1] + r * np.sin(ang),
+                base + a)
+
+    poses = []
+    for k in range(n_frames):
+        x, y, yaw = at(k * step)
+        T = np.eye(4)
+        c, si = np.cos(yaw), np.sin(yaw)
+        T[:3, :3] = [[c, -si, 0], [si, c, 0], [0, 0, 1]]
+        T[:3, 3] = [x, y, 0.0]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def simulate(world, pose, n_raw, rng, sensor_range=65.0):
+    inv = np.linalg.inv(pose)
+    # cheap pre-crop in world coords before the exact transform
+    c = pose[:3, 3]
+    rough = (np.abs(world[:, 0] - c[0]) < sensor_range + 2) \
+        & (np.abs(world[:, 1] - c[1]) < sensor_range + 2)
+    w = world[rough]
+    local = w @ inv[:3, :3].T + inv[:3, 3]
+    r = np.linalg.norm(local[:, :2], axis=1)
+    sel = np.where((r < sensor_range) & (r > 1.8))[0]
+    if len(sel) > n_raw:
+        sel = rng.choice(sel, n_raw, replace=False)
+    pts = local[sel] + 0.01 * rng.normal(size=(len(sel), 3))
+    out = np.zeros((n_raw, 3), np.float32)
+    out[:len(sel)] = pts
+    mask = np.zeros(n_raw, bool)
+    mask[:len(sel)] = True
+    inten = np.zeros(n_raw, np.float32)
+    ws = w[sel]
+    inten[:len(sel)] = np.abs(np.sin(0.7 * ws[:, 0])
+                              + np.cos(1.3 * ws[:, 1])) * 120.0
+    return {"xyz": out, "intensity": inten,
+            "ts_ratio": np.linspace(0, 1, n_raw, dtype=np.float32),
+            "mask": mask}
+
+
+class _List(list):
+    pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=420)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--json_out", default=None)
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import dataclasses
+    from mulls_tpu.config import load_flagfile
+    from mulls_tpu.eval import kitti_metrics as km
+    from mulls_tpu.pipeline.odometry import OdometryPipeline
+    from mulls_tpu.pipeline.slam import SlamPipeline
+
+    cfgfile = "/root/reference/script/config/lo_gflag_list_kitti_urban.txt"
+    cfg = load_flagfile(cfgfile)
+
+    rng = np.random.default_rng(7)
+    print("[synthbench] building world ...", flush=True)
+    world = build_world(rng)
+    gt = loop_trajectory(args.frames)
+    gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)  # frame-0 coords
+
+    print(f"[synthbench] simulating {args.frames} scans "
+          f"({len(world):,} world pts) ...", flush=True)
+    t0 = time.time()
+    world_g = loop_trajectory(args.frames)  # sensor poses in world coords
+    frames = _List(simulate(world, world_g[k], cfg.shapes.n_raw, rng)
+                   for k in range(args.frames))
+    print(f"[synthbench] simulated in {time.time() - t0:.1f}s", flush=True)
+
+    out = {"frames": args.frames,
+           "loop_length_m": float(np.sum(np.linalg.norm(
+               np.diff(gt[:, :3, 3], axis=0), axis=1)))}
+
+    def evaluate(tag, poses):
+        errs = km.compute_error(gt, poses)
+        summ = km.summarize(errs)
+        ate = km.ate_rmse(gt, poses)
+        end_gap = float(np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3]))
+        out[tag] = {"t_drift_pct": summ["ate_percent"],
+                    "r_drift_deg_per_m": summ["are_deg_per_m"],
+                    "ate_rmse_m": ate, "end_gap_m": end_gap,
+                    "segments": summ.get("num_segments", 0)}
+        print(f"[synthbench] {tag}: drift {summ['ate_percent']:.3f}% "
+              f"/ {summ['are_deg_per_m']:.4f} deg/m  ATE {ate:.3f} m  "
+              f"end-gap {end_gap:.3f} m", flush=True)
+
+    t0 = time.time()
+    res_odo = OdometryPipeline(cfg).run(frames)
+    out["odometry_fps"] = round(args.frames / (time.time() - t0), 1)
+    assert all(c == 1 for c in res_odo.codes), \
+        f"odometry failures: {[i for i, c in enumerate(res_odo.codes) if c != 1]}"
+    evaluate("odometry", res_odo.poses)
+
+    cfg_slam = cfg.replace(submap=dataclasses.replace(
+        cfg.submap, loop_closure_detection_on=True))
+    t0 = time.time()
+    pipe = SlamPipeline(cfg_slam)
+    res_slam = pipe.run(frames)
+    pipe.refine(res_slam)
+    out["slam_fps"] = round(args.frames / (time.time() - t0), 1)
+    be = res_slam.backend
+    out["submaps"] = len(be.submaps)
+    out["loop_edges"] = sum(1 for e in be.edges if e.kind == 2)
+    evaluate("slam", res_slam.poses)
+
+    print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
