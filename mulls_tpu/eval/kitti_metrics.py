@@ -86,10 +86,23 @@ def summarize(errors: List[SegmentError]) -> dict:
             "are_deg_per_m": float(np.degrees(r[m].mean())),
             "count": int(m.sum()),
         }
+    # accuracy w.r.t. vehicle speed: 10..100 km/h buckets, +-10 window
+    # (`odom_error_compute.h:220-240`)
+    sp = np.array([e.speed for e in errors])
+    per_speed = {}
+    for v in range(10, 101, 10):
+        m = np.abs(sp - v) < 10.0
+        if m.any():
+            per_speed[v] = {
+                "ate_percent": float(t[m].mean() * 100.0),
+                "are_deg_per_m": float(np.degrees(r[m].mean())),
+                "count": int(m.sum()),
+            }
     return {
         "ate_percent": float(t.mean() * 100.0),
         "are_deg_per_m": float(np.degrees(r.mean())),
         "per_length": per_length,
+        "per_speed": per_speed,
         "num_segments": len(errors),
     }
 
@@ -109,4 +122,9 @@ def format_report(summary: dict, longer_segments_on: bool = False) -> str:
     for length, row in sorted(summary["per_length"].items()):
         lines.append(f"  {length:7.0f}  {row['ate_percent']:8.4f}  "
                      f"{row['are_deg_per_m']:11.6f}  {row['count']}")
+    if summary.get("per_speed"):
+        lines.append("  speed(km/h)   ATE (%)   ARE (deg/m)   n")
+        for v, row in sorted(summary["per_speed"].items()):
+            lines.append(f"  {v:11.0f}  {row['ate_percent']:8.4f}  "
+                         f"{row['are_deg_per_m']:11.6f}  {row['count']}")
     return "\n".join(lines)

@@ -112,6 +112,7 @@ def loop_trajectory(n_frames: int, step: float = 0.8):
 
 
 def simulate(world, pose, n_raw, rng, sensor_range=65.0):
+    """One scan: crop world to range, downsample, sensor-frame + noise."""
     inv = np.linalg.inv(pose)
     # cheap pre-crop in world coords before the exact transform
     c = pose[:3, 3]
@@ -146,6 +147,15 @@ def main():
     ap.add_argument("--frames", type=int, default=420)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--json_out", default=None)
+    ap.add_argument("--events", action="store_true",
+                    help="print the back-end decision log")
+    ap.add_argument("--skip_odometry", action="store_true")
+    ap.add_argument("--fog", action="store_true",
+                    help="degrade frames 25%%-40%% of the run to 20 m "
+                         "sensor range (fog bank): odometry drifts there, "
+                         "and the SLAM back-end must repair it via loop "
+                         "closure when the trajectory re-enters mapped "
+                         "space")
     args = ap.parse_args()
     if args.platform == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -169,11 +179,19 @@ def main():
           f"({len(world):,} world pts) ...", flush=True)
     t0 = time.time()
     world_g = loop_trajectory(args.frames)  # sensor poses in world coords
-    frames = _List(simulate(world, world_g[k], cfg.shapes.n_raw, rng)
-                   for k in range(args.frames))
+    fog_lo, fog_hi = (int(0.25 * args.frames), int(0.40 * args.frames)) \
+        if args.fog else (0, 0)
+    frames = _List(
+        simulate(world, world_g[k], cfg.shapes.n_raw, rng,
+                 sensor_range=(20.0 if fog_lo <= k < fog_hi else 65.0))
+        for k in range(args.frames))
+    if args.fog:
+        print(f"[synthbench] fog bank on frames {fog_lo}-{fog_hi}",
+              flush=True)
     print(f"[synthbench] simulated in {time.time() - t0:.1f}s", flush=True)
 
     out = {"frames": args.frames,
+           "fog": [fog_lo, fog_hi] if args.fog else None,
            "loop_length_m": float(np.sum(np.linalg.norm(
                np.diff(gt[:, :3, 3], axis=0), axis=1)))}
 
@@ -190,12 +208,16 @@ def main():
               f"/ {summ['are_deg_per_m']:.4f} deg/m  ATE {ate:.3f} m  "
               f"end-gap {end_gap:.3f} m", flush=True)
 
-    t0 = time.time()
-    res_odo = OdometryPipeline(cfg).run(frames)
-    out["odometry_fps"] = round(args.frames / (time.time() - t0), 1)
-    assert all(c == 1 for c in res_odo.codes), \
-        f"odometry failures: {[i for i, c in enumerate(res_odo.codes) if c != 1]}"
-    evaluate("odometry", res_odo.poses)
+    if not args.skip_odometry:
+        t0 = time.time()
+        res_odo = OdometryPipeline(cfg).run(frames)
+        out["odometry_fps"] = round(args.frames / (time.time() - t0), 1)
+        bad = [i for i, c in enumerate(res_odo.codes) if c != 1]
+        out["odometry_failed_frames"] = len(bad)
+        # degraded frames may legitimately fall back to the motion model;
+        # outside a fog bank every registration must be healthy
+        assert all(fog_lo <= i < fog_hi + 3 for i in bad), f"failures: {bad}"
+        evaluate("odometry", res_odo.poses)
 
     cfg_slam = cfg.replace(submap=dataclasses.replace(
         cfg.submap, loop_closure_detection_on=True))
@@ -208,6 +230,9 @@ def main():
     out["submaps"] = len(be.submaps)
     out["loop_edges"] = sum(1 for e in be.edges if e.kind == 2)
     evaluate("slam", res_slam.poses)
+    if args.events:
+        for ev in be.events:
+            print("  [backend]", ev, flush=True)
 
     print(json.dumps(out))
     if args.json_out:
