@@ -214,6 +214,13 @@ class RegConfig:
     normal_shooting_on: bool = False
     normal_bearing: float = 45.0  # normal-consistency gate (deg)
     sigma_thre: float = 0.5
+    # degeneracy-aware solution remapping (TPU-build extension, not in the
+    # reference): zero the per-iteration update along eigendirections of
+    # the diagonally-whitened 6x6 normal matrix whose eigenvalue falls
+    # below this dimensionless threshold — in corridors/intersections the
+    # weakly-constrained direction otherwise follows correspondence noise
+    # with a confidently-low residual sigma.  0 disables.
+    degeneracy_thre: float = 0.045
     min_neccessary_corr_ratio: float = 0.03
     max_bearable_rotation_d: float = 45.0
     min_total_corr_num: int = 40

@@ -301,6 +301,34 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
         ATA_r = ATA + 1e-6 * jnp.eye(6, dtype=jnp.float32)
         x = jnp.linalg.solve(ATA_r, ATb)
 
+        # degeneracy-aware solution remapping (extension; LOAM-style but
+        # scale-free): whiten by the diagonal so the 6x6 becomes a unit-
+        # diagonal correlation matrix, then zero the update along
+        # eigendirections with eigenvalue < degeneracy_thre — those
+        # directions are (nearly) unobservable this frame and the motion-
+        # model initial guess is a better estimate than correspondence
+        # noise.  Residual sigma cannot see this failure mode: a corridor
+        # or open intersection yields a confident, wrong along-track step.
+        if cfg.degeneracy_thre > 0.0:
+            # scale balance: rotation params act through the moment arm, so
+            # divide them by the system's own characteristic radius rho
+            # (trace ratio of the rotation/translation blocks); then
+            # normalize by the effective correspondence weight so an
+            # eigenvalue reads as "fraction of the weight constraining
+            # this direction"
+            tr_t = jnp.trace(ATA_r[:3, :3])
+            tr_r = jnp.trace(ATA_r[3:, 3:])
+            rho = jnp.sqrt(jnp.maximum(tr_r, 1e-9)
+                           / jnp.maximum(tr_t, 1e-9))
+            s_bal = jnp.concatenate([jnp.ones(3, jnp.float32),
+                                     jnp.full(3, rho, jnp.float32)])
+            norm = jnp.maximum(tr_t / 3.0, 1e-9)
+            Ahat = ATA_r / s_bal[:, None] / s_bal[None, :] / norm
+            lam, Vh = jnp.linalg.eigh(Ahat)
+            keep = (lam >= cfg.degeneracy_thre).astype(jnp.float32)
+            z = s_bal * x
+            x = (Vh @ (keep * (Vh.T @ z))) / s_bal
+
         # residuals at the solution -> posterior sigma^2
         for name in used:
             kind, A_or_J, b_or_d, w = per_class[name]

@@ -28,8 +28,22 @@ def accumulate_map(dataset, poses: np.ndarray, voxel_res: float = 0.25,
     ``downrate`` strides each frame's points before merging — the role of
     the reference's output-map random downsample
     (`--map_downrate_output`, `mulls_slam.cpp:970`)."""
-    table: dict = {}
     inv_res = 1.0 / voxel_res
+    keys_acc: list = []   # pending voxel keys, first-seen order
+    pts_acc: list = []
+
+    def compact():
+        """Dedupe pending chunks, keeping the FIRST point per voxel
+        (np.unique's return_index is the first occurrence)."""
+        if len(keys_acc) <= 1:
+            return
+        k = np.concatenate(keys_acc)
+        p = np.concatenate(pts_acc)
+        _, first = np.unique(k, return_index=True)
+        first.sort()  # preserve first-seen order across frames
+        keys_acc[:] = [k[first]]
+        pts_acc[:] = [p[first]]
+
     for i in range(0, min(len(dataset), len(poses)), every_n):
         frame = dataset[i]
         m = frame["mask"]
@@ -42,16 +56,17 @@ def accumulate_map(dataset, poses: np.ndarray, voxel_res: float = 0.25,
         keys = np.floor(world * inv_res).astype(np.int64)
         lin = (keys[:, 0] * 73856093) ^ (keys[:, 1] * 19349663) \
             ^ (keys[:, 2] * 83492791)
-        # keep the first point seen per voxel
         _, first = np.unique(lin, return_index=True)
-        for k, p in zip(lin[first], world[first]):
-            if k not in table:
-                table[k] = p
-        if len(table) > max_points:
-            break
-    if not table:
+        keys_acc.append(lin[first])
+        pts_acc.append(world[first].astype(np.float32))
+        if len(keys_acc) >= 24:
+            compact()
+            if len(keys_acc[0]) > max_points:
+                break
+    compact()
+    if not keys_acc:
         return np.zeros((0, 3), np.float32)
-    return np.asarray(list(table.values()), np.float32)
+    return pts_acc[0][:max_points]
 
 
 def radius_outlier_filter(points: np.ndarray, radius: float = 1.0,

@@ -161,3 +161,70 @@ def test_icp_information_matrix_sane(scene, rng):
     assert np.abs(info - info.T).max() <= 1e-6 * np.abs(info).max()
     eig = np.linalg.eigvalsh(info)
     assert eig.min() > 0  # positive definite
+
+
+def _corridor_scene(rng, n_vertex=14, vertex_noise=0.6):
+    """Degenerate corridor: ground + two walls parallel to x — nothing
+    planar constrains translation along x.  A handful of NOISY vertex
+    points (pt2pt) weakly 'observe' x and would drag the solve."""
+    gx, gy = np.meshgrid(np.linspace(-25, 25, 60), np.linspace(-6, 6, 14))
+    ground = np.stack([gx.ravel(), gy.ravel(),
+                       0.01 * rng.normal(size=gx.size)], -1)
+    g_nrm = np.tile([0.0, 0.0, 1.0], (len(ground), 1))
+    walls = []
+    for y, ny in ((-6.0, 1.0), (6.0, -1.0)):
+        wx, wz = np.meshgrid(np.linspace(-25, 25, 60), np.linspace(0, 5, 10))
+        walls.append((np.stack([wx.ravel(),
+                                y + 0.01 * rng.normal(size=wx.size),
+                                wz.ravel()], -1),
+                      np.tile([0.0, ny, 0.0], (wx.size, 1))))
+    facade = np.concatenate([w[0] for w in walls])
+    f_nrm = np.concatenate([w[1] for w in walls])
+    vert = np.stack([rng.uniform(-20, 20, n_vertex),
+                     rng.uniform(-5, 5, n_vertex),
+                     rng.uniform(0, 3, n_vertex)], -1)
+    return (ground, g_nrm), (facade, f_nrm), (vert, np.zeros((n_vertex, 3)))
+
+
+def test_icp_degeneracy_keeps_guess_along_corridor(rng):
+    """Degeneracy-aware remapping (TPU-build extension): in a corridor the
+    along-track direction is observed only by a few noisy vertex points.
+    With remapping ON the solve must hold the (correct) initial guess
+    along x instead of following vertex noise; planar directions still
+    converge.  With the threshold at 0 the noise pulls x off."""
+    import dataclasses
+    parts = _corridor_scene(rng)
+    T_gt = se3.make_transform(jnp.asarray([1.2, 0.12, 0.03], jnp.float32),
+                              jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
+    caps = {"ground": 1024, "facade": 2048, "vertex": 64}
+    target, source = {}, {}
+    for name, (pts, nrm) in zip(("ground", "facade", "vertex"), parts):
+        target[name] = _cloud(pts, nrm, caps[name], rng)
+        p = _transform_np(T_gt, pts)
+        if name == "vertex":  # independent large noise on the weak class
+            p = p + 0.6 * rng.normal(size=p.shape)
+        source[name] = _cloud(p, nrm @ np.asarray(T_gt)[:3, :3].T,
+                              caps[name], rng,
+                              intensity=np.asarray(target[name].intensity)
+                              [:len(pts)])
+
+    guess = se3.inverse(T_gt)  # exact
+    T_exp = np.asarray(se3.inverse(T_gt))
+
+    cfg_on = RegConfig(used_feature_type="101001", corr_weight_strategy="1000")
+    res_on = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))(
+        source, target, cfg_on, guess, max_iter=12)
+    err_on = abs(float(np.asarray(res_on.transform)[0, 3] - T_exp[0, 3]))
+
+    cfg_off = dataclasses.replace(cfg_on, degeneracy_thre=0.0)
+    res_off = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))(
+        source, target, cfg_off, guess, max_iter=12)
+    err_off = abs(float(np.asarray(res_off.transform)[0, 3] - T_exp[0, 3]))
+
+    # constrained directions stay accurate either way
+    assert abs(float(np.asarray(res_on.transform)[1, 3] - T_exp[1, 3])) < 0.05
+    assert abs(float(np.asarray(res_on.transform)[2, 3] - T_exp[2, 3])) < 0.05
+    # remapping holds the guess along the corridor
+    assert err_on < 0.05, (err_on, err_off)
+    # and the unprotected solve is measurably worse (the failure is real)
+    assert err_off > 2 * err_on + 0.02, (err_on, err_off)

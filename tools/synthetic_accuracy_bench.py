@@ -37,7 +37,11 @@ def build_world(rng, half: float = 120.0) -> np.ndarray:
     pts.append(np.stack([
         rng.uniform(-half, half, n_g), rng.uniform(-half, half, n_g),
         0.04 * rng.normal(size=n_g) - 1.73], -1))
-    # buildings: walls along a 60 m grid, height 4-14 m, leave street gaps
+    # buildings: walls along a 60 m grid, height 4-14 m, leave street gaps.
+    # Each facade gets a random piecewise depth profile (insets/protrusions
+    # every few meters) so no two building sides look alike — a regular
+    # grid of identical flat walls is perceptually aliased in a way real
+    # streets are not, and invites wrong-mode loop registrations.
     for cx in (-60.0, 0.0, 60.0):
         for cy in (-60.0, 0.0, 60.0):
             w = 22.0  # half building width; streets are ~16 m wide
@@ -45,18 +49,27 @@ def build_world(rng, half: float = 120.0) -> np.ndarray:
             n_w = 26_000
             side = rng.integers(0, 4, n_w)
             u = rng.uniform(-w, w, n_w)
-            d = np.full(n_w, w) + 0.03 * rng.normal(size=n_w)
+            # per-side piecewise facade depth: 11 random segments
+            prof = rng.uniform(-1.2, 1.2, (4, 11))
+            seg = np.clip(((u + w) / (2 * w) * 11).astype(int), 0, 10)
+            d = np.full(n_w, w) + prof[side, seg] \
+                + 0.03 * rng.normal(size=n_w)
             wx = cx + np.where(side == 0, d, np.where(side == 1, -d, u))
             wy = cy + np.where(side < 2, u, np.where(side == 2, d, -d))
             pts.append(np.stack(
                 [wx, wy, rng.uniform(-1.5, h, n_w)], -1))
-    # lampposts along the streets every ~9 m
-    xs = np.arange(-half + 6, half, 9.0)
+    # lampposts along the streets at IRREGULAR spacing (7-14 m) and
+    # jittered lateral offsets — a perfectly periodic post grid aliases at
+    # the grid period
     posts = []
-    for x in xs:
-        for lane in (-31.0, -29.0, 29.0, 31.0):
-            posts.append((x, lane))
-            posts.append((lane, x))
+    for lane in (-31.0, -29.0, 29.0, 31.0):
+        x = -half + rng.uniform(2, 8)
+        while x < half:
+            posts.append((x + rng.uniform(-0.8, 0.8),
+                          lane + rng.uniform(-0.6, 0.6)))
+            posts.append((lane + rng.uniform(-0.6, 0.6),
+                          x + rng.uniform(-0.8, 0.8)))
+            x += rng.uniform(7.0, 14.0)
     per = 90
     for (px, py) in posts:
         z = np.linspace(-1.6, 4.2, per)
@@ -64,6 +77,18 @@ def build_world(rng, half: float = 120.0) -> np.ndarray:
             px + 0.015 * rng.normal(size=per),
             py + 0.015 * rng.normal(size=per), z], -1)
         pts.append(posts_xyz)
+    # street clutter: parked-car-sized boxes at random curb spots (unique
+    # local geometry for the descriptor/intensity channels)
+    for _ in range(60):
+        lane = rng.choice([-33.5, 33.5])
+        along = rng.uniform(-half + 5, half - 5)
+        cx2, cy2 = (along, lane) if rng.random() < 0.5 else (lane, along)
+        n_c = 700
+        box = np.stack([
+            cx2 + rng.uniform(-2.2, 2.2, n_c),
+            cy2 + rng.uniform(-0.9, 0.9, n_c),
+            rng.uniform(-1.7, -0.2, n_c)], -1)
+        pts.append(box)
     return np.concatenate(pts).astype(np.float32)
 
 
@@ -230,6 +255,24 @@ def main():
     out["submaps"] = len(be.submaps)
     out["loop_edges"] = sum(1 for e in be.edges if e.kind == 2)
     evaluate("slam", res_slam.poses)
+    # loop-edge correctness against ground truth: the submap node pose is
+    # the pose of its last frame (local map kept in last-frame coords), so
+    # the true edge measurement is gt[fe_i]^-1 gt[fe_j]
+    fe = {s.sid: s.frame_end for s in be.submaps}
+    edge_diag = []
+    for e in be.edges:
+        if e.kind == 1:  # adjacent
+            continue
+        T_gt = np.linalg.inv(gt[fe[e.i]]) @ gt[fe[e.j]]
+        dt = float(np.linalg.norm(np.asarray(e.T)[:3, 3] - T_gt[:3, 3]))
+        edge_diag.append({"i": e.i, "j": e.j, "kind": e.kind,
+                          "t_err_m": round(dt, 3),
+                          "confidence": round(e.confidence, 3)})
+    out["reg_edge_diag"] = edge_diag
+    n_wrong = sum(1 for d in edge_diag if d["t_err_m"] > 1.0)
+    if edge_diag:
+        print(f"[synthbench] reg edges: {len(edge_diag)} total, "
+              f"{n_wrong} wrong (>1 m vs gt)", flush=True)
     if args.events:
         for ev in be.events:
             print("  [backend]", ev, flush=True)
