@@ -226,5 +226,7 @@ def test_icp_degeneracy_keeps_guess_along_corridor(rng):
     assert abs(float(np.asarray(res_on.transform)[2, 3] - T_exp[2, 3])) < 0.05
     # remapping holds the guess along the corridor
     assert err_on < 0.05, (err_on, err_off)
-    # and the unprotected solve is measurably worse (the failure is real)
-    assert err_off > 2 * err_on + 0.02, (err_on, err_off)
+    # and the unprotected solve is measurably worse (the failure is real);
+    # relative check — the absolute magnitude of the noise-induced pull
+    # varies with backend/rng, what matters is that remapping beats it
+    assert err_off > 10 * err_on and err_off > 0.01, (err_on, err_off)
