@@ -87,6 +87,49 @@ class Edge:
     confidence: float = 1.0
 
 
+def coarse_align_submaps(a: Submap, b: Submap, cfg: MullsConfig, key
+                         ) -> Tuple[np.ndarray, bool]:
+    """NCC keypoint matching + robust coarse registration of submap b onto
+    submap a (`mulls_slam.cpp:529-556`); shared by the in-run loop closure
+    and the multi-session merger (`backend/merge.py`)."""
+    s = cfg.submap
+    m = match_ncc(jax.device_put(a.descriptors),
+                  jax.device_put(b.descriptors),
+                  fixed_num_corr=s.best_n_feature_match_on,
+                  corr_num=s.feature_corr_num,
+                  reciprocal=s.reciprocal_feature_match_on)
+    va = jax.device_put(a.clouds["vertex"])
+    vb = jax.device_put(b.clouds["vertex"])
+    src = vb.xyz[m.s_idx]
+    tgt = va.xyz[m.t_idx]
+    mask = m.valid & vb.mask[m.s_idx] & va.mask[m.t_idx]
+    nb = cfg.feature.cloud_pca_neigh_r
+    if s.teaser_based_global_registration_on:
+        res = cr.coarse_reg_gnc(src, tgt, mask, key, noise_bound=nb,
+                                min_inlier_count=s.teaser_min_inlier_count)
+    else:
+        res = cr.coarse_reg_ransac(src, tgt, mask, key,
+                                   inlier_thre=2.0 * nb,
+                                   min_inlier_count=s.teaser_min_inlier_count)
+    return np.asarray(res.transform, np.float64), bool(res.valid)
+
+
+def bev_align_submaps(a: Submap, b: Submap, grid: int = 320,
+                      res: float = 0.6) -> Tuple[np.ndarray, bool]:
+    """Global BEV FFT-correlation coarse alignment of submap b onto a.
+
+    Fallback when NCC putative sets degrade (wide loop-closure baselines
+    can coherently prefer a wrong symmetric mode that passes the robust
+    estimator but fails the odometry double-check); the dense
+    (yaw, tx, ty) basin search cannot miss the true mode for planar
+    motion.  Shared by the in-run loop closure and the multi-session
+    merger (`backend/merge.py`)."""
+    sx, sm_m = (jax.device_put(x) for x in cr.bev_feature_stack(b.clouds))
+    tx, tm = (jax.device_put(x) for x in cr.bev_feature_stack(a.clouds))
+    out = cr.coarse_reg_bev(sx, sm_m, tx, tm, grid=grid, res=res)
+    return np.asarray(out.transform, np.float64), bool(out.valid)
+
+
 def _bbx_iou_2d(a: Submap, b: Submap) -> float:
     lo = np.maximum(a.bbx_min[:2], b.bbx_min[:2])
     hi = np.minimum(a.bbx_max[:2], b.bbx_max[:2])
@@ -157,39 +200,11 @@ class SlamBackend:
     def coarse_align(self, a: Submap, b: Submap, key) -> Tuple[np.ndarray, bool]:
         """NCC keypoint matching + robust coarse registration
         (`mulls_slam.cpp:529-556`)."""
-        s = self.cfg.submap
-        m = match_ncc(jax.device_put(a.descriptors),
-                      jax.device_put(b.descriptors),
-                      fixed_num_corr=s.best_n_feature_match_on,
-                      corr_num=s.feature_corr_num,
-                      reciprocal=s.reciprocal_feature_match_on)
-        va = jax.device_put(a.clouds["vertex"])
-        vb = jax.device_put(b.clouds["vertex"])
-        src = vb.xyz[m.s_idx]
-        tgt = va.xyz[m.t_idx]
-        mask = m.valid & vb.mask[m.s_idx] & va.mask[m.t_idx]
-        nb = self.cfg.feature.cloud_pca_neigh_r
-        if s.teaser_based_global_registration_on:
-            res = cr.coarse_reg_gnc(src, tgt, mask, key, noise_bound=nb,
-                                    min_inlier_count=s.teaser_min_inlier_count)
-        else:
-            res = cr.coarse_reg_ransac(src, tgt, mask, key,
-                                       inlier_thre=2.0 * nb,
-                                       min_inlier_count=s.teaser_min_inlier_count)
-        return np.asarray(res.transform, np.float64), bool(res.valid)
+        return coarse_align_submaps(a, b, self.cfg, key)
 
     def bev_align(self, a: Submap, b: Submap) -> Tuple[np.ndarray, bool]:
-        """Global BEV-correlation coarse alignment of two submaps.
-
-        Fallback when NCC putative sets degrade (wide loop-closure
-        baselines can coherently prefer a wrong symmetric mode that
-        passes the robust estimator but fails the odometry double-check);
-        the dense (yaw, tx, ty) basin search cannot miss the true mode
-        for planar motion."""
-        sx, sm_m = (jax.device_put(x) for x in cr.bev_feature_stack(b.clouds))
-        tx, tm = (jax.device_put(x) for x in cr.bev_feature_stack(a.clouds))
-        res = cr.coarse_reg_bev(sx, sm_m, tx, tm, grid=320, res=0.6)
-        return np.asarray(res.transform, np.float64), bool(res.valid)
+        """Global BEV-correlation coarse alignment of two submaps."""
+        return bev_align_submaps(a, b)
 
     # --- back-end step at a new submap boundary --------------------------
 
@@ -350,7 +365,7 @@ class SlamBackend:
 
     # --- PGO --------------------------------------------------------------
 
-    def build_graph(self) -> PoseGraph:
+    def build_graph(self, extra_fixed=None) -> PoseGraph:
         m = len(self.submaps)
         active = [e for e in self.edges if e.kind in (REG_EDGE, ADJACENT_EDGE)]
         e = len(active)
@@ -366,6 +381,10 @@ class SlamBackend:
             for ed in active]).astype(np.float32)
         fixed = np.zeros(m, bool)
         fixed[0] = True
+        if extra_fixed is not None:
+            # caller-pinned nodes (the multi-session merger anchors the
+            # first session's entire graph)
+            fixed |= np.asarray(extra_fixed, bool)
         # pre-loop nodes frozen like the reference's ceres bounds trick:
         # nodes older than the earliest reg-edge target stay fixed
         reg_targets = [ed.i for ed in active if ed.kind == REG_EDGE]
@@ -408,11 +427,11 @@ class SlamBackend:
             fixed=jnp.asarray(fixed),
             t_limit=t_limit, r_limit=r_limit), active
 
-    def optimize(self) -> Optional[np.ndarray]:
+    def optimize(self, extra_fixed=None) -> Optional[np.ndarray]:
         """PGO + wrong-edge veto (`graph_optimizer.cpp:713-754`).
         On success updates submap poses and returns them [S, 4, 4]."""
         s_cfg = self.cfg.submap
-        graph, active = self.build_graph()
+        graph, active = self.build_graph(extra_fixed)
         # --pose_graph_optimization_method selects the solver profile of
         # the corresponding reference backend (`graph_optimizer.h:181-186`,
         # `mulls_slam.cpp:597-613`) — all three solve the same quaternion

@@ -161,6 +161,13 @@ class SlamPipeline:
                 save_checkpoint(self.checkpoint_path, state, i, poses,
                                 poses_odom, codes, sigmas, backend)
 
+        if self.checkpoint_path:
+            # final checkpoint: the completed session is the input artifact
+            # for multi-session merging (`backend/merge.py`)
+            from mulls_tpu.pipeline.checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_path, state, n, poses,
+                            poses_odom, codes, sigmas, backend)
+
         res = OdometryResult(poses=poses, codes=codes, sigmas=sigmas,
                              timings=timings)
         res.backend = backend
