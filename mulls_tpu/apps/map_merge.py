@@ -58,7 +58,11 @@ def main(argv=None) -> int:
     if len(paths) < 2:
         print("need >= 2 checkpoints to merge", file=sys.stderr)
         return 2
-    sessions = [session_from_checkpoint(p) for p in paths]
+    try:
+        sessions = [session_from_checkpoint(p) for p in paths]
+    except ValueError as e:
+        print(f"[merge] FAILED: {e}", file=sys.stderr)
+        return 1
     for p, s in zip(paths, sessions):
         print(f"[merge] {p}: {len(s.submaps)} submaps, "
               f"{len(s.edges)} edges, "

@@ -115,7 +115,7 @@ def find_session_transform(anchor: List[Submap], new: List[Submap],
         for ai, a in enumerate(anchor):
             for bi, b in enumerate(new):
                 key, k = jax.random.split(key)
-                T_pair, ok = align(a, b, k)
+                T_pair, ok = align(ai, bi, a, b, k)
                 if not ok:
                     continue
                 T_s = a.pose @ T_pair @ np.linalg.inv(b.pose)
@@ -133,7 +133,8 @@ def find_session_transform(anchor: List[Submap], new: List[Submap],
                 best = support
         return best
 
-    votes = _collect(lambda a, b, k: coarse_align_submaps(a, b, cfg, k))
+    votes = _collect(
+        lambda ai, bi, a, b, k: coarse_align_submaps(a, b, cfg, k))
     best_support = _best_cluster(votes)
     if events is not None:
         events.append(f"merge: NCC pass — {len(votes)} votes from "
@@ -142,8 +143,13 @@ def find_session_transform(anchor: List[Submap], new: List[Submap],
     if len(best_support) < min_votes and anchor and new:
         # descriptor matching degraded (sparse / viewpoint-hostile vertex
         # sets): dense BEV FFT-correlation basin search per pair, the same
-        # fallback the in-run loop closure uses
-        votes = _collect(lambda a, b, k: bev_align_submaps(a, b))
+        # fallback the in-run loop closure uses.  Stacks are rasterized
+        # once per submap (O(A+B)), not once per pair (O(A*B)).
+        from mulls_tpu.backend.submap import bev_stack_of
+        stacks_a = [bev_stack_of(s) for s in anchor]
+        stacks_b = [bev_stack_of(s) for s in new]
+        votes = _collect(lambda ai, bi, a, b, k: bev_align_submaps(
+            a, b, stack_a=stacks_a[ai], stack_b=stacks_b[bi]))
         best_support = _best_cluster(votes)
         if events is not None:
             events.append(f"merge: BEV fallback — {len(votes)} votes, "
@@ -237,11 +243,11 @@ def merge_sessions(sessions: List[SessionData], cfg: MullsConfig,
                    and _bbx_iou_2d(merged[ai], merged[off + bi])
                    > s_cfg.min_iou_thre)]))
         n_ok = 0
-        for ai, bj in cand:
+        for attempted, (ai, bj) in enumerate(cand):
             if n_ok >= max_inter_edges_per_session:
                 events.append(f"merge: inter-edge cap "
                               f"({max_inter_edges_per_session}) reached, "
-                              f"{len(cand) - n_ok} candidates unused")
+                              f"{len(cand) - attempted} candidates unused")
                 break
             a, b = merged[ai], merged[bj]
             T_guess = np.linalg.inv(a.pose) @ b.pose

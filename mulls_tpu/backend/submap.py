@@ -114,8 +114,16 @@ def coarse_align_submaps(a: Submap, b: Submap, cfg: MullsConfig, key
     return np.asarray(res.transform, np.float64), bool(res.valid)
 
 
+def bev_stack_of(s: Submap):
+    """Device-resident BEV feature stack of a submap — precompute and
+    reuse when aligning many pairs (the merge fallback is all-pairs, so
+    per-call rasterization would be O(A*B) instead of O(A+B))."""
+    return tuple(jax.device_put(x) for x in cr.bev_feature_stack(s.clouds))
+
+
 def bev_align_submaps(a: Submap, b: Submap, grid: int = 320,
-                      res: float = 0.6) -> Tuple[np.ndarray, bool]:
+                      res: float = 0.6, stack_a=None, stack_b=None
+                      ) -> Tuple[np.ndarray, bool]:
     """Global BEV FFT-correlation coarse alignment of submap b onto a.
 
     Fallback when NCC putative sets degrade (wide loop-closure baselines
@@ -124,8 +132,8 @@ def bev_align_submaps(a: Submap, b: Submap, grid: int = 320,
     (yaw, tx, ty) basin search cannot miss the true mode for planar
     motion.  Shared by the in-run loop closure and the multi-session
     merger (`backend/merge.py`)."""
-    sx, sm_m = (jax.device_put(x) for x in cr.bev_feature_stack(b.clouds))
-    tx, tm = (jax.device_put(x) for x in cr.bev_feature_stack(a.clouds))
+    sx, sm_m = stack_b if stack_b is not None else bev_stack_of(b)
+    tx, tm = stack_a if stack_a is not None else bev_stack_of(a)
     out = cr.coarse_reg_bev(sx, sm_m, tx, tm, grid=grid, res=res)
     return np.asarray(out.transform, np.float64), bool(out.valid)
 

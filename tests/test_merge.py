@@ -121,12 +121,48 @@ def test_merge_two_sessions(two_sessions):
     assert xyz.shape == (len(cid), 3) and len(inten) == len(cid)
 
 
+def _unrelated_world(rng, n=90000):
+    """Disjoint geometry from `_asymmetric_world`: irregular radial walls
+    + scattered towers (no square corridor, no shared structure), so any
+    alignment the voting/BEV passes propose must be spurious."""
+    n_g = n // 2
+    g = np.stack([rng.uniform(-40, 40, n_g), rng.uniform(-40, 40, n_g),
+                  0.03 * rng.normal(size=n_g) - 1.7], -1)
+    segs = []
+    for ang, r0, ln in ((0.4, 9.0, 14.0), (1.7, 14.0, 9.0), (2.6, 7.0, 12.0),
+                        (4.1, 16.0, 10.0), (5.3, 11.0, 13.0)):
+        m = n // 14
+        u = rng.uniform(0, ln, m)
+        d = np.asarray([np.cos(ang), np.sin(ang)])
+        base = r0 * d + u[:, None] * np.asarray([-d[1], d[0]])
+        segs.append(np.stack([base[:, 0] + 0.04 * rng.normal(size=m),
+                              base[:, 1] + 0.04 * rng.normal(size=m),
+                              rng.uniform(-1.5, 4.0, m)], -1))
+    for cx, cy in ((-22.0, 8.0), (18.0, -19.0), (5.0, 24.0)):
+        m = n // 20
+        segs.append(np.stack([cx + rng.uniform(-1.0, 1.0, m),
+                              cy + rng.uniform(-1.0, 1.0, m),
+                              rng.uniform(-1.5, 5.0, m)], -1))
+    return np.concatenate([g] + segs).astype(np.float32)
+
+
 def test_merge_rejects_unrelated_session(two_sessions):
-    """A session with no overlap must be rejected, not silently glued."""
+    """A session over genuinely disjoint geometry (non-empty, so the vote
+    clustering AND the dense BEV fallback both actually run) must be
+    rejected, not silently glued."""
     cfg, runs, _, _, _ = two_sessions
     from mulls_tpu.backend.merge import SessionData, merge_sessions
 
-    far = SessionData(submaps=[], edges=[], poses=None, name="empty")
+    rng = np.random.default_rng(23)
+    world = _unrelated_world(rng)
+    g = _session_gt(6, (-6.0, -3.0, 0.0), 0.3)
+    frames = _ListDataset(
+        _simulate_scan(world, p, cfg.shapes.n_raw, 35.0, rng) for p in g)
+    far_run = SlamPipeline(cfg, segment=2).run(frames)
+    assert len(far_run.backend.submaps) >= 1
+    far = SessionData(submaps=far_run.backend.submaps,
+                      edges=far_run.backend.edges, poses=far_run.poses,
+                      name="unrelated")
     with pytest.raises(ValueError):
         merge_sessions([SessionData(submaps=runs[0].backend.submaps,
                                     edges=runs[0].backend.edges,

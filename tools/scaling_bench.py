@@ -84,13 +84,20 @@ def main() -> int:
            "device": jax.devices()[0].device_kind, "runs": []}
 
     base_fps = None
+    base_seqs = None
     for S in sweep:
-        if S % n_dev != 0 and n_dev % S != 0:
-            print(f"[scaling] skip S={S} (not compatible with "
+        # MultiSeqPipeline requires S to be a multiple of its mesh size;
+        # for S < n_dev run on a submesh of S devices instead of skipping
+        if S < n_dev:
+            run_mesh = make_mesh(S)
+        elif S % n_dev == 0:
+            run_mesh = mesh
+        else:
+            print(f"[scaling] skip S={S} (not a multiple of the "
                   f"{n_dev}-device mesh)", flush=True)
             continue
         ds = datasets[:S]
-        pipe = MultiSeqPipeline(cfg, mesh, segment=args.segment)
+        pipe = MultiSeqPipeline(cfg, run_mesh, segment=args.segment)
         # warm-up: compile the S-sequence program on a short prefix (same
         # pipe instance — its jitted scan is cached per instance)
         warm = [sab._List(d[:min(2, len(d))]) for d in ds]
@@ -102,11 +109,15 @@ def main() -> int:
         agg = S * args.frames / dt
         if base_fps is None:
             base_fps = agg / S
+            base_seqs = S
         eff = agg / (S * base_fps)
         run = {"sequences": S, "wall_s": round(dt, 2),
                "aggregate_fps": round(agg, 1),
                "per_seq_fps": round(agg / S, 1),
-               "efficiency_vs_1seq": round(eff, 3),
+               # per-sequence throughput relative to the smallest run in
+               # the sweep (named explicitly: the base is not always S=1)
+               "efficiency_vs_base": round(eff, 3),
+               "base_sequences": base_seqs,
                "unhealthy_frames": bad}
         out["runs"].append(run)
         print(f"[scaling] S={S}: {agg:.1f} fps aggregate "
