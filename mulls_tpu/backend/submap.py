@@ -56,6 +56,13 @@ class Submap:
     # `utility.hpp:260`, set for all submaps at `mulls_slam.cpp:620-621`);
     # stable nodes get tight ceres-style bounds in later optimizations
     stable: bool = False
+    # worst / mean per-frame registration confidence over this submap's
+    # span — the min-vs-mean ratio de-weights the adjacent PGO edge INTO
+    # this submap so corrections concentrate where the odometry actually
+    # degraded (normalized per-span: absolute confidence differs between
+    # dense and sparse environments)
+    span_min_conf: float = 1.0
+    span_mean_conf: float = 1.0
 
     def compute_bounds(self):
         pts = []
@@ -163,18 +170,31 @@ class SlamBackend:
         self._accu_tran = 0.0
         self._accu_rot_deg = 0.0
         self._accu_frames = 0
+        # worst per-frame registration confidence inside the open span —
+        # carried onto the submap so the adjacent PGO edge can be
+        # de-weighted across low-quality stretches (two internally
+        # consistent submaps register confidently even when the odometry
+        # BETWEEN them drifted; the m2m information alone cannot see that)
+        self._span_min_conf = 1.0
+        self._span_conf_sum = 0.0
+        self._span_conf_n = 0
         self._reg = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))
         # optimized submap poses (None until a successful PGO)
         self.optimized: Optional[np.ndarray] = None
 
     # --- segmentation --------------------------------------------------
 
-    def accumulate(self, T_rel: np.ndarray) -> None:
+    def accumulate(self, T_rel: np.ndarray, confidence: float = None
+                   ) -> None:
         self._accu_tran += float(np.linalg.norm(T_rel[:3, 3]))
         c = np.clip((np.trace(T_rel[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
         self._accu_rot_deg += float(np.degrees(np.arccos(c)))
         self._accu_frames += 1
         self.frames_wo_opt += 1
+        if confidence is not None:
+            self._span_min_conf = min(self._span_min_conf, float(confidence))
+            self._span_conf_sum += float(confidence)
+            self._span_conf_n += 1
 
     def should_segment(self) -> bool:
         s = self.cfg.submap
@@ -189,10 +209,16 @@ class SlamBackend:
                     descriptors=jax.device_get(local_map.vertex_desc),
                     frame_begin=frame_begin, frame_end=frame_end)
         sm.compute_bounds()
+        sm.span_min_conf = self._span_min_conf
+        sm.span_mean_conf = (self._span_conf_sum / self._span_conf_n
+                             if self._span_conf_n else 1.0)
         self.submaps.append(sm)
         self._accu_tran = 0.0
         self._accu_rot_deg = 0.0
         self._accu_frames = 0
+        self._span_min_conf = 1.0
+        self._span_conf_sum = 0.0
+        self._span_conf_n = 0
         return sm
 
     # --- registration helpers -------------------------------------------
@@ -246,7 +272,22 @@ class SlamBackend:
         else:
             info = np.eye(6) * (1.0 / max(sigma, 0.05) ** 2
                                 if code == 1 else 100.0)
-        self.edges.append(Edge(i=a.sid, j=b.sid, T=T_adj, info=info,
+        # de-weight the adjacent edge by the span's worst-vs-mean per-frame
+        # registration confidence: the two submaps are each internally
+        # consistent, so the m2m information stays high even when the
+        # odometry BETWEEN them degraded (corner exits, fog) — without
+        # this, PGO spreads loop-closure corrections into healthy spans
+        # instead of the one that actually drifted.  Normalized by the
+        # span's own mean so sparse environments (uniformly low
+        # confidence) keep full weight
+        q = float(np.clip(
+            b.span_min_conf / max(0.5 * b.span_mean_conf, 1e-6), 0.05, 1.0))
+        if q < 1.0:
+            self.events.append(
+                f"adjacent {a.sid}->{b.sid}: span conf min/mean "
+                f"{b.span_min_conf:.3f}/{b.span_mean_conf:.3f}, "
+                f"info x{q*q:.4f}")
+        self.edges.append(Edge(i=a.sid, j=b.sid, T=T_adj, info=info * q * q,
                                kind=ADJACENT_EDGE, sigma=sigma,
                                confidence=float(res.confidence)))
 

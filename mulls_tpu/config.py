@@ -249,6 +249,20 @@ class MapConfig:
     dynamic_removal_radius: float = 30.0
     dynamic_dist_thre_min: float = 0.3
     near_dist_thre: float = 0.03
+    # TPU-build robustness extensions (not in the reference; rationale in
+    # docs/ACCURACY.md "corner-exit failure anatomy").  Both key off a
+    # confidence DROP relative to the run's own EMA baseline — absolute
+    # thresholds misfire in legitimately sparse environments where
+    # steady-state confidence is low:
+    # skip dynamic removal when the frame's confidence falls below this
+    # fraction of the baseline — removal keys off scan-vs-map distance,
+    # so a misaligned frame would delete static structure
+    dynamic_removal_confidence_drop: float = 0.4
+    # arm the next frame's add_length gate widening when confidence falls
+    # below this fraction of the baseline even though the registration
+    # code is healthy (a starved solve can converge confidently-wrong one
+    # frame before failing outright)
+    add_length_confidence_drop: float = 0.5
     local_map_recalculation_frequency: int = 30
     map_min_dist_within_feature: float = 0.03
     s2m_frequency: int = 1

@@ -165,10 +165,16 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
                target: Dict[str, FeatureCloud],
                cfg: RegConfig,
                init_guess: jnp.ndarray,
-               max_iter: int) -> RegResult:
+               max_iter: int,
+               dis_thre_add=0.0) -> RegResult:
     """Register source onto target; returns T such that T @ source ~ target.
 
     ``cfg.used_feature_type`` selects classes at trace time (static).
+    ``dis_thre_add`` (may be a traced scalar) widens the initial
+    correspondence gate — the reference's ``add_length`` recovery: the
+    frame after a failed registration re-converges through a looser gate
+    (`mulls_slam.cpp:650-657, 686-693`: `reg_corr_dis_thre_init +
+    add_length`).
     """
     used = [n for n in CLASS_ORDER
             if cfg.used_feature_type[_TYPE_IDX[n]] == "1" and n in source]
@@ -176,7 +182,7 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
     strategy = cfg.corr_weight_strategy
     converge_rot = math.radians(cfg.converge_rot_d)
     max_rot = math.radians(cfg.max_bearable_rotation_d)
-    max_tran = 2.0 * cfg.corr_dis_thre_init
+    max_tran = 2.0 * (cfg.corr_dis_thre_init + dis_thre_add)
 
     s_counts = {n: source[n].count for n in used}
     src_feature_count = sum(s_counts[n] for n in ("pillar", "facade", "beam")
@@ -199,7 +205,8 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
     else:
         tmin = tmax = None
 
-    init_thre = jnp.full((len(used),), cfg.corr_dis_thre_init, jnp.float32)
+    init_thre = jnp.full((len(used),), cfg.corr_dis_thre_init,
+                         jnp.float32) + dis_thre_add
 
     def body(state):
         (it, T, thre, done, code, sigma2, info, conf) = state

@@ -67,11 +67,16 @@ def _dynamic_removal_mask(cloud: FeatureCloud, map_cloud: FeatureCloud,
 @partial(jax.jit, static_argnames=("map_cfg",), donate_argnums=(0,))
 def update_local_map(local_map: LocalMap, frame: FeatureFrame,
                      T_rel: jnp.ndarray, dynamic_dist_max: jnp.ndarray,
-                     map_cfg: MapConfig, key: jax.Array) -> LocalMap:
+                     map_cfg: MapConfig, key: jax.Array,
+                     removal_enabled=True) -> LocalMap:
     """Append ``frame`` (down clouds + vertex) to the map.
 
     ``T_rel`` maps the new frame's coords into the current map frame (the
     registration result).  The returned map lives in the new frame's coords.
+    ``removal_enabled`` (may be traced) additionally gates dynamic-object
+    removal — callers pass False for frames whose registration is failed or
+    low-confidence: removal keys off scan-vs-map distance, so running it on
+    a misaligned frame deletes STATIC structure (docs/ACCURACY.md).
     """
     caps = map_cfg.shapes
     T_inv = se3.inverse(T_rel)
@@ -81,7 +86,8 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
     map_count = sum(local_map.clouds[n].count
                     for n in ("ground", "pillar", "facade", "beam", "roof"))
     removal_on = (jnp.bool_(map_cfg.map_based_dynamic_removal_on)
-                  & (map_count > map_cfg.local_map_max_pt_num // 5))
+                  & (map_count > map_cfg.local_map_max_pt_num // 5)
+                  & jnp.asarray(removal_enabled))
     # (callers pass an already speed-scaled gate; the floor lives HERE only)
     dist_max = jnp.maximum(dynamic_dist_max, map_cfg.dynamic_dist_thre_min + 0.1)
 

@@ -62,7 +62,18 @@ def load_checkpoint(path: str, backend=None) -> Optional[dict]:
         return None
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    payload["state"] = jax.device_put(payload["state"])
+    state = payload["state"]
+    # forward-compat: checkpoints written before SlamState gained a field
+    # unpickle without it (frozen-dataclass pickling restores __dict__
+    # verbatim); backfill scalar defaults.  (States saved as plain pytrees
+    # — e.g. dicts in tests — pass through untouched.)
+    if hasattr(state, "nonground_rate"):
+        import jax.numpy as jnp
+        for name, default in (("add_length", jnp.float32(0.0)),
+                              ("conf_ema", jnp.float32(-1.0))):
+            if getattr(state, name, None) is None:
+                object.__setattr__(state, name, default)
+    payload["state"] = jax.device_put(state)
     if backend is not None and "backend" in payload:
         b = payload["backend"]
         backend.submaps = b["submaps"]

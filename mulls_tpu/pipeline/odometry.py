@@ -56,6 +56,14 @@ class SlamState:
     # reference's self-adaptive parameter update
     # (`update_parameters_self_adaptive`, `cfilter.hpp:2416-2444`)
     nonground_rate: jnp.ndarray = None
+    # correspondence-gate widening for the NEXT frame after a failed
+    # registration (the reference's `add_length`,
+    # `mulls_slam.cpp:650-657, 686-693`); 0 when healthy
+    add_length: jnp.ndarray = None
+    # EMA of healthy-frame registration confidence — the run's own
+    # baseline; drops relative to it arm the recovery gate and pause
+    # dynamic removal (cfg.map.*_confidence_drop).  Negative = unseeded
+    conf_ema: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -111,6 +119,8 @@ def init_state(cfg: MullsConfig) -> SlamState:
         key=jax.random.key(cfg.seed),
         prev_frame=prev,
         nonground_rate=jnp.float32(cfg.ground.gf_nonground_down_rate),
+        add_length=jnp.float32(0.0),
+        conf_ema=jnp.float32(-1.0),
     )
 
 
@@ -160,13 +170,26 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     # optional scan-to-scan pre-registration: refine the motion-model
     # guess against the previous frame's features before scan-to-map
     # (`mulls_slam.cpp:631-665`)
+    # `add_length` correspondence-gate widening (`mulls_slam.cpp:650-657,
+    # 686-693`): the frame after a failure re-converges through a looser
+    # gate (+1.0 m); scan-to-map after an in-frame scan-to-scan pass gets
+    # +1.0 on s2s success / +0.8 on s2s failure, like the reference's
+    # in-frame add_length hand-off.  (The reference arms this under its
+    # interactive mode; applied unconditionally here — the headless
+    # reference's no-widening failure cascade on sharp turns is exactly
+    # what it prevents, docs/ACCURACY.md.)
     if cfg.map.scan_to_scan_module_on:
         s2s = mm_lls_icp(frame.down, state.prev_frame, cfg.reg, guess,
-                         max_iter=cfg.reg.reg_max_iter_num_s2s)
+                         max_iter=cfg.reg.reg_max_iter_num_s2s,
+                         dis_thre_add=state.add_length)
         guess = jnp.where(s2s.process_code == 1, s2s.transform, guess)
+        s2m_add = jnp.where(s2s.process_code == 1, 1.0, 0.8)
+    else:
+        s2m_add = state.add_length
 
     res = mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg, guess,
-                     max_iter=cfg.reg.reg_max_iter_num_s2m)
+                     max_iter=cfg.reg.reg_max_iter_num_s2m,
+                     dis_thre_add=s2m_add)
 
     # scan-to-map cadence (`mulls_slam.cpp:631,667`): within the first
     # `initial_scan2scan_frame_num` frames, or on frames skipped by
@@ -191,7 +214,46 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
             iterations=jnp.where(use_s2s & s2s_ok, s2s.iterations,
                                  res.iterations))
 
+    # a hard failure OR a confidence dip relative to the run's own
+    # baseline flags a suspect solve — a starved registration (e.g. corner
+    # exit with an over-rotated motion-model guess) can converge on a
+    # handful of correspondences with a deceptively low sigma one frame
+    # before failing outright.  The baseline is an EMA of healthy-frame
+    # confidence (absolute thresholds would misfire in sparse scenes
+    # whose steady-state confidence is legitimately low)
+    ema = state.conf_ema
+    baseline = jnp.where(ema < 0.0, res.confidence, ema)
+
+    def _suspect(r):
+        return (r.process_code < 0) | (
+            r.confidence < cfg.map.add_length_confidence_drop * baseline)
+
+    # in-frame retry through the widened gate: instead of paying a bad
+    # frame and recovering on the NEXT one (the reference's add_length
+    # pattern), re-run the registration immediately with the recovery
+    # gate when the first attempt is suspect.  lax.cond keeps the second
+    # ICP off the critical path on healthy frames (under the multiseq
+    # vmap it lowers to select — acceptable, see docs/PERF.md headroom)
+    retry = jax.lax.cond(
+        _suspect(res),
+        lambda: mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg,
+                           guess, max_iter=cfg.reg.reg_max_iter_num_s2m,
+                           dis_thre_add=jnp.float32(1.0)),
+        lambda: res)
+    take = _suspect(res) & (retry.process_code == 1) \
+        & (retry.confidence > res.confidence)
+    res = jax.tree.map(lambda a, b: jnp.where(take, a, b), retry, res)
+
     failed = res.process_code < 0
+    low_conf = res.confidence < cfg.map.add_length_confidence_drop * baseline
+    add_next = jnp.where(failed | low_conf, jnp.float32(1.0),
+                         jnp.float32(0.0))
+    healthy = (res.process_code == 1) & ~first
+    ema_next = jnp.where(
+        healthy & ~low_conf,
+        jnp.where(ema < 0.0, res.confidence,
+                  0.9 * ema + 0.1 * res.confidence),
+        ema)
     eye = jnp.eye(4, dtype=jnp.float32)
     T_rel = jnp.where(first, eye, jnp.where(failed, guess, res.transform))
     if cfg.map.zupt_on:
@@ -206,8 +268,12 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     # dynamic-object gate distance scales with per-frame motion
     # (`mulls_slam.cpp:439`)
     dyn_max = 1.5 * jnp.linalg.norm(T_rel[:3, 3])  # floored in update_local_map
+    removal_ok = (~failed) & (
+        res.confidence
+        >= cfg.map.dynamic_removal_confidence_drop * baseline)
     local_map = update_local_map(state.local_map, frame, T_rel, dyn_max,
-                                 cfg.map, k_map)
+                                 cfg.map, k_map,
+                                 removal_enabled=removal_ok)
 
     # periodic re-PCA + consistency cull of the map's pillar/beam direction
     # vectors (`mulls_slam.cpp:431-435`, `map_manager.cpp:95-118`).  In the
@@ -228,7 +294,9 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
                           prev_frame=(frame.down
                                       if cfg.map.scan_to_scan_module_on
                                       else None),
-                          nonground_rate=ng_rate)
+                          nonground_rate=ng_rate,
+                          add_length=add_next,
+                          conf_ema=ema_next)
     code = jnp.where(first, 1, res.process_code)
     out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma, code=code,
                   confidence=res.confidence, iterations=res.iterations,

@@ -99,7 +99,7 @@ class SlamPipeline:
             # the whole segment is ONE device program; one D2H for its
             # packed outputs
             state, vecs = slam_scan(state, batch, cfg)
-            T_rels, seg_sigma, seg_codes, _, _ = StepOut.unpack_vecs(
+            T_rels, seg_sigma, seg_codes, seg_conf, _ = StepOut.unpack_vecs(
                 np.asarray(vecs[:k_real]))
             t1 = time.perf_counter()
             timings[i:seg_end, 2] = (t1 - t0) * 1e3 / (seg_end - i)
@@ -116,7 +116,7 @@ class SlamPipeline:
                 codes.append(int(seg_codes[k - i]))
                 sigmas.append(float(seg_sigma[k - i]))
                 if k > 0:
-                    backend.accumulate(T)
+                    backend.accumulate(T, confidence=seg_conf[k - i])
 
             # back-end at segment boundary (`mulls_slam.cpp:451-628`)
             tb0 = time.perf_counter()
@@ -128,16 +128,15 @@ class SlamPipeline:
                 submap_open_begin = seg_end
                 old_poses = np.stack([s.pose for s in backend.submaps])
                 new_poses = backend.on_new_submap(self._next_key())
-                # the adjacent-edge map2map refinement may have nudged the
-                # newest submap pose even without a PGO
-                ref_pose = backend.submaps[-1].pose
-                if not np.allclose(ref_pose, poses[last]):
-                    # adopt the refined pose for the trigger frame and
-                    # continue odometry from it (`mulls_slam.cpp:489-498`)
-                    cur_pose = ref_pose
-                    poses[last] = ref_pose
                 if new_poses is not None:
-                    # rigidly move each submap's frames to its new pose
+                    # rigidly move each submap's frames to its new pose.
+                    # The correction is computed against old_poses (the
+                    # poses the stored frames were chained from, captured
+                    # BEFORE on_new_submap), so any in-call m2m/transfer
+                    # nudge of the newest submap is already folded into
+                    # newp — adopting ref_pose first and then remapping
+                    # would double-apply that nudge and leave the
+                    # trajectory tail off by the transfer amount
                     for s, newp in zip(backend.submaps, new_poses):
                         mask = frame_submap[:seg_end] == s.sid
                         if not mask.any():
@@ -146,6 +145,15 @@ class SlamPipeline:
                         poses[:seg_end][mask] = np.einsum(
                             "ij,njk->nik", corr, poses[:seg_end][mask])
                     cur_pose = poses[seg_end - 1]
+                else:
+                    # no PGO this submap: the adjacent-edge map2map
+                    # refinement may still have nudged the newest submap
+                    # pose — adopt it for the trigger frame and continue
+                    # odometry from it (`mulls_slam.cpp:489-498`)
+                    ref_pose = backend.submaps[-1].pose
+                    if not np.allclose(ref_pose, poses[last]):
+                        cur_pose = ref_pose
+                        poses[last] = ref_pose
             timings[i:seg_end, 3] = (time.perf_counter() - tb0) * 1e3 \
                 / (seg_end - i)
 

@@ -230,3 +230,33 @@ def test_icp_degeneracy_keeps_guess_along_corridor(rng):
     # relative check — the absolute magnitude of the noise-induced pull
     # varies with backend/rng, what matters is that remapping beats it
     assert err_off > 10 * err_on and err_off > 0.01, (err_on, err_off)
+
+
+def test_icp_add_length_recovers_wide_offset(scene, rng):
+    """The `add_length` recovery gate (`mulls_slam.cpp:650-657`): an offset
+    too large for the normal correspondence gate converges once the
+    initial gate is widened — the post-failure re-convergence path the
+    fused SLAM step arms for the frame after a failed registration."""
+    cfg = RegConfig(used_feature_type="111000", corr_dis_thre_init=0.8,
+                    corr_dis_thre_min=0.3)
+    T_gt = se3.make_transform(jnp.asarray([1.6, -0.5, 0.0], jnp.float32),
+                              jnp.asarray([0.0, 0.0, 0.06], jnp.float32))
+    target = _clouds_from_scene(scene, rng)
+    source = _clouds_from_scene(scene, rng, T=T_gt)
+    for n in source:
+        source[n] = source[n].replace(intensity=target[n].intensity)
+
+    fn = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))
+    bare = fn(source, target, cfg, jnp.eye(4), max_iter=20)
+    widened = fn(source, target, cfg, jnp.eye(4), max_iter=20,
+                 dis_thre_add=jnp.float32(1.0))
+    # the bare gate must NOT produce a good, confident result (it either
+    # fails outright or lands away from the truth)
+    T_exp = np.asarray(se3.inverse(T_gt))
+    bare_off = np.linalg.norm(np.asarray(bare.transform)[:3, 3]
+                              - T_exp[:3, 3])
+    assert int(bare.process_code) != 1 or bare_off > 0.3, (
+        int(bare.process_code), bare_off)
+    assert int(widened.process_code) == 1
+    np.testing.assert_allclose(np.asarray(widened.transform)[:3, 3],
+                               T_exp[:3, 3], atol=0.05)

@@ -19,7 +19,11 @@ def _merge_cfg():
             submap_accu_tran=1e9, submap_accu_rot=1e9, submap_accu_frame=3,
             teaser_min_inlier_count=6,
             map2map_reliable_sigma_thre=0.04,
-            map_to_map_min_cor_ratio=0.2),
+            # 10-frame toy submaps overlap thinly: measured inter-session
+            # corr ratios sit at 0.09-0.18 and wobble with compile-level
+            # f32 jitter — the capability under test is edge creation +
+            # joint PGO, not a production overlap gate
+            map_to_map_min_cor_ratio=0.12),
         reg=cfg.reg.__class__(corr_dis_thre_init=3.5, corr_dis_thre_min=0.6,
                               # sparse synthetic scene: the cold-start
                               # frame sits right at the default gates

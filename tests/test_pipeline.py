@@ -183,3 +183,38 @@ def test_scan_to_scan_and_zupt(rng):
     assert all(c == 1 for c in res.codes), res.codes
     steps = np.diff(res.poses[:, :3, 3], axis=0)
     np.testing.assert_allclose(steps[1:, 0], 0.5, atol=0.05)
+
+
+def test_odometry_sharp_turn_no_cascade(rng):
+    """Corner-cascade regression (docs/ACCURACY.md "corner-exit failure
+    anatomy"): a straight run into a sharp 6 deg/frame 90-degree turn and
+    out again must not produce consecutive registration failures — the
+    recovery ladder (confidence-armed add_length gate widening + dynamic-
+    removal pause) has to re-converge within one frame, and heading must
+    survive the turn."""
+    from mulls_tpu.pipeline.odometry import OdometryPipeline
+    cfg = ge._small_cfg()
+    world = _loop_world(rng)
+    n1, nt, n2 = 12, 15, 12  # straight, turn (90 deg / 15 fr), straight
+    gt = []
+    pos = np.array([-14.0, -6.0, 0.0])
+    yaw = 0.0
+    for k in range(n1 + nt + n2):
+        e = jnp.asarray([0.0, 0.0, yaw], jnp.float32)
+        t = jnp.asarray(pos, jnp.float32)
+        gt.append(np.asarray(se3.make_transform(t, e), np.float64))
+        step = min(0.8, 0.3 * (k + 1))
+        if n1 <= k < n1 + nt:
+            yaw += np.pi / 2 / nt
+        pos = pos + step * np.array([np.cos(yaw), np.sin(yaw), 0.0])
+    frames = _ListDataset(
+        _simulate_scan(world, g, cfg.shapes.n_raw, 35.0, rng) for g in gt)
+    res = OdometryPipeline(cfg, segment=2).run(frames)
+    codes = list(res.codes)
+    runs_of_2 = [k for k in range(len(codes) - 1)
+                 if codes[k] != 1 and codes[k + 1] != 1]
+    assert not runs_of_2, codes
+    gt = np.stack(gt)
+    gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    err = np.linalg.norm(res.poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert err[-1] < 1.0, (err.max(), err[-1], codes)
