@@ -56,66 +56,39 @@ def main():
     idx_list = (order * (256 // len(order) + 1))[:256]
     playlist = [frames[i] for i in idx_list]
 
-    # warm-up: compile the segment program (no result fetch — on a
-    # tunneled chip the first device->host data transfer can wedge the
-    # link into a degraded mode, so all fetching happens after the timer)
+    # warm-up: compile the segment program AND force one result to host —
+    # on this tunneled backend, block_until_ready on a never-fetched
+    # stream reports enqueue completion, not compute completion (measured:
+    # 8 chained segments "block" in 3 ms but take 30 s to actually produce
+    # data), so every timed pass below ends with a REAL host fetch of the
+    # result buffers
     state = init_state(cfg)
     for k, batch in prefetch_segments(frames[:3], 16):
         state, vecs = slam_scan(state, batch, cfg)
-    jax.block_until_ready(state.pose)
+    np.asarray(vecs)
 
-    # timed: enqueue-to-completion of the whole streamed run; best of three
-    # passes (the tunneled link's throughput fluctuates several-fold
-    # between sessions — the better pass reflects the pipeline, the worse
-    # one the weather)
+    # timed: streamed run to data-on-host; best of three passes.  The
+    # per-segment result is a tiny [16,16] f32 buffer, so the end-of-pass
+    # fetch adds link RTT, not bandwidth — the timer measures the honest
+    # pipeline a user gets: upload + device compute + result readback
     fps = 0.0
-    parts = []
+    fetched = []
 
     def one_pass():
-        nonlocal parts
+        nonlocal fetched
         state = init_state(cfg)
         parts = []
         t0 = time.perf_counter()
         for k, batch in prefetch_segments(playlist, 16):
             state, vecs = slam_scan(state, batch, cfg)
             parts.append(vecs[:k])
-        jax.block_until_ready(state.pose)
-        jax.block_until_ready(parts[-1])
+        fetched = [np.asarray(p) for p in parts]  # forces true completion
         return len(playlist) / (time.perf_counter() - t0)
 
     for _ in range(3):
         fps = max(fps, one_pass())
-    # the link sometimes starts a session wedged into a degraded mode
-    # (measured: the same code spans 95..365 fps across sessions while the
-    # device program itself is ~0.015 ms/frame); if every pass was slow,
-    # give the tunnel a breather and try twice more
-    if fps < 200.0:
-        for _ in range(2):
-            time.sleep(20.0)
-            fps = max(fps, one_pass())
-            if fps >= 200.0:
-                break
-    # validation fetch (post-timer) under a watchdog: the tunnel can wedge
-    # device->host transfers for minutes; never let that keep the metric
-    # from printing.  Fetch the buffers the run already produced (plain
-    # device_get per segment — no fresh op, so no remote compile on the
-    # critical path).
-    import threading
-    fetched = []
-    fetch_done = False
-
-    def _fetch():
-        nonlocal fetch_done
-        for p in parts:
-            fetched.append(np.asarray(p))
-        fetch_done = True
-
-    th = threading.Thread(target=_fetch, daemon=True)
-    th.start()
-    th.join(timeout=240.0)
-    codes = (np.concatenate(fetched)[:, 13].astype(int)
-             if fetch_done else None)
-    ok = codes is not None and bool(np.all(codes == 1))
+    codes = np.concatenate(fetched)[:, 13].astype(int)
+    ok = bool(np.all(codes == 1))
     out = {
         "metric": "frontend_odometry_fps",
         "value": round(fps, 3),
@@ -123,13 +96,8 @@ def main():
         "vs_baseline": round(fps / 10.0, 3),
     }
     if not ok:
-        out["warn"] = ("validation fetch timed out" if codes is None
-                       else f"codes={codes.tolist()}")
+        out["warn"] = f"codes={codes.tolist()}"
     print(json.dumps(out), flush=True)
-    if not fetch_done:
-        # a wedged fetch thread would crash interpreter teardown; the
-        # metric is out, exit hard and clean
-        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -187,43 +187,49 @@ def fast_ground_filter(
         gcell = jnp.where(gm, cell, num_cells)
         ransac_thre = 0.3 * cfg.gf_in_grid_h_thre
         n_hyp = 8  # vectorized equivalent of the reference's 20 seq. iters
-        hyp_keys = jax.random.split(ku2, 3 * n_hyp)
-
-        def pick_per_cell(k):
-            """One random in-band member per cell -> [C, 3] xyz."""
-            score = jnp.where(gm, jax.random.uniform(k, (n,)), -1.0)
-            cmax = jax.ops.segment_max(score, gcell,
-                                       num_segments=num_cells + 1)[:num_cells]
-            picked = gm & (score == cmax[jnp.clip(cell, 0, num_cells - 1)])
-            pts = jnp.zeros((num_cells + 1, 3), jnp.float32).at[gcell].add(
-                jnp.where(picked[:, None], xyz, 0.0))[:num_cells]
-            # duplicate argmax ties are vanishing; normalize by pick count
-            cnt = jnp.zeros((num_cells + 1,), jnp.float32).at[gcell].add(
-                picked.astype(jnp.float32))[:num_cells]
-            return pts / jnp.maximum(cnt, 1.0)[:, None]
-
-        best_inl = jnp.zeros((n,), bool)
-        best_cnt = jnp.zeros((num_cells,), jnp.float32)
         cell_of = jnp.clip(cell, 0, num_cells - 1)
-        for h in range(n_hyp):
-            p1 = pick_per_cell(hyp_keys[3 * h])
-            p2 = pick_per_cell(hyp_keys[3 * h + 1])
-            p3 = pick_per_cell(hyp_keys[3 * h + 2])
-            cross = jnp.cross(p2 - p1, p3 - p1)
-            cn = jnp.linalg.norm(cross, axis=-1, keepdims=True)
-            nrm_h = cross / jnp.maximum(cn, 1e-9)
-            # degeneracy gate: duplicate/collinear samples give a ~zero
-            # cross product whose "plane" would count every point as an
-            # inlier at distance 0 — kill those hypotheses outright
-            ok_h = cn[:, 0] > 1e-6
-            d = jnp.abs(jnp.sum((xyz - p1[cell_of]) * nrm_h[cell_of], -1))
-            inl = gm & (d <= ransac_thre) & ok_h[cell_of]
-            cnt_h = jnp.where(ok_h, jax.ops.segment_sum(
-                inl.astype(jnp.float32), gcell,
-                num_segments=num_cells + 1)[:num_cells], -1.0)
-            better = cnt_h > best_cnt
-            best_cnt = jnp.where(better, cnt_h, best_cnt)
-            best_inl = jnp.where(better[cell_of], inl, best_inl)
+
+        # All 3*n_hyp random member picks in ONE segment_max + ONE
+        # segment_sum (scatter/segment reductions are the slow op class on
+        # TPU — the per-hypothesis loop version spent ~145 ms/frame on ~80
+        # of them; this block uses 3 total)
+        n_pick = 3 * n_hyp
+        score = jnp.where(gm[:, None],
+                          jax.random.uniform(ku2, (n, n_pick)), -1.0)
+        cmax = jax.ops.segment_max(score, gcell,
+                                   num_segments=num_cells + 1)[:num_cells]
+        picked = gm[:, None] & (score == cmax[cell_of])  # [n, n_pick]
+        # per-pick xyz sum + pick count fused into one segment_sum
+        pick_feat = jnp.concatenate(
+            [(picked[:, :, None] * xyz[:, None, :]).reshape(n, n_pick * 3),
+             picked.astype(jnp.float32)], axis=1)
+        pick_sums = jax.ops.segment_sum(
+            pick_feat, gcell, num_segments=num_cells + 1)[:num_cells]
+        pts = pick_sums[:, :n_pick * 3].reshape(num_cells, n_pick, 3)
+        pcnt = pick_sums[:, n_pick * 3:]  # [C, n_pick]
+        # duplicate argmax ties are vanishing; normalize by pick count
+        pts = pts / jnp.maximum(pcnt, 1.0)[:, :, None]
+        p1 = pts[:, 0 * n_hyp:1 * n_hyp]  # [C, n_hyp, 3]
+        p2 = pts[:, 1 * n_hyp:2 * n_hyp]
+        p3 = pts[:, 2 * n_hyp:3 * n_hyp]
+        cross = jnp.cross(p2 - p1, p3 - p1)
+        cn = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+        nrm_h = cross / jnp.maximum(cn, 1e-9)  # [C, n_hyp, 3]
+        # degeneracy gate: duplicate/collinear samples give a ~zero cross
+        # product whose "plane" would count every point as an inlier at
+        # distance 0 — kill those hypotheses outright
+        ok_h = cn[..., 0] > 1e-6  # [C, n_hyp]
+        # point-to-plane distances for ALL hypotheses at once: [n, n_hyp]
+        d = jnp.abs(jnp.sum((xyz[:, None, :] - p1[cell_of])
+                            * nrm_h[cell_of], -1))
+        inl = gm[:, None] & (d <= ransac_thre) & ok_h[cell_of]
+        cnt_h = jnp.where(ok_h, jax.ops.segment_sum(
+            inl.astype(jnp.float32), gcell,
+            num_segments=num_cells + 1)[:num_cells], -1.0)  # [C, n_hyp]
+        best_h = jnp.argmax(cnt_h, axis=1)  # [C]
+        best_cnt = jnp.take_along_axis(cnt_h, best_h[:, None], 1)[:, 0]
+        best_inl = jnp.take_along_axis(inl, best_h[cell_of][:, None],
+                                       1)[:, 0]
         # cells where every hypothesis degenerated fall back to the full
         # in-band set (plain LS plane, the pre-RANSAC behavior)
         best_inl = jnp.where((best_cnt > 0.0)[cell_of], best_inl, gm)
