@@ -6,9 +6,8 @@ tunnel-H2D-bound in this container, so this probe measures the DEVICE
 side of the scaling story in isolation: S sequences batched on the local
 device(s), segment inputs pre-staged on device, 16 chained scan calls,
 one final block.  Aggregate fps should grow near-linearly with S until
-the chip's compute saturates — that headroom (measured ~200x at S=1,
-docs/PERF.md) is exactly what multi-sequence batching converts into
-throughput on non-tunneled hardware.
+the chip's compute saturates; measured on the tunneled chip: 0.83 /
+0.76 / 0.53 efficiency at S=2/4/8 (docs/PERF.md).
 
 Usage: python tools/perf_probe_multiseq_device.py [--seqs 1,2,4,8]
 """
