@@ -58,9 +58,12 @@ def main(argv=None) -> int:
     if len(paths) < 2:
         print("need >= 2 checkpoints to merge", file=sys.stderr)
         return 2
+    import pickle
     try:
         sessions = [session_from_checkpoint(p) for p in paths]
-    except ValueError as e:
+    except (ValueError, OSError, pickle.UnpicklingError, EOFError) as e:
+        # unusable checkpoint: missing file, truncated/corrupt pickle, or
+        # an odometry-only run without a back-end
         print(f"[merge] FAILED: {e}", file=sys.stderr)
         return 1
     for p, s in zip(paths, sessions):

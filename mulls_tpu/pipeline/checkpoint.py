@@ -40,6 +40,12 @@ def save_checkpoint(path: str, state, frame_idx: int, poses: np.ndarray,
             "cooling": backend.cooling,
             "accu": (backend._accu_tran, backend._accu_rot_deg,
                      backend._accu_frames),
+            # open-span registration-quality accumulators — losing them on
+            # resume would give the next submap's adjacent PGO edge full
+            # weight even if the pre-crash half of the span was degraded
+            "span": (backend._span_min_conf, backend._span_conf_sum,
+                     backend._span_conf_n),
+            "frames_wo_opt": backend.frames_wo_opt,
             "optimized": backend.optimized,
         }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -82,5 +88,10 @@ def load_checkpoint(path: str, backend=None) -> Optional[dict]:
         backend.cooling = b["cooling"]
         (backend._accu_tran, backend._accu_rot_deg,
          backend._accu_frames) = b["accu"]
+        if "span" in b:  # older checkpoints predate the span accumulators
+            (backend._span_min_conf, backend._span_conf_sum,
+             backend._span_conf_n) = b["span"]
+        backend.frames_wo_opt = b.get("frames_wo_opt",
+                                      backend.frames_wo_opt)
         backend.optimized = b["optimized"]
     return payload

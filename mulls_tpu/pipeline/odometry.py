@@ -228,17 +228,19 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
         return (r.process_code < 0) | (
             r.confidence < cfg.map.add_length_confidence_drop * baseline)
 
-    # in-frame retry through the widened gate: instead of paying a bad
-    # frame and recovering on the NEXT one (the reference's add_length
-    # pattern), re-run the registration immediately with the recovery
-    # gate when the first attempt is suspect.  lax.cond keeps the second
-    # ICP off the critical path on healthy frames (under the multiseq
-    # vmap it lowers to select — acceptable, see docs/PERF.md headroom)
+    # in-frame retry through a WIDER gate than the first attempt (+1.0 m
+    # on top of whatever the first attempt used — with the s2s module on
+    # the first s2m already runs widened, so "retry with +1.0" would be a
+    # bit-identical no-op): instead of paying a bad frame and recovering
+    # on the NEXT one (the reference's add_length pattern), re-run the
+    # registration immediately when the first attempt is suspect.
+    # lax.cond keeps the second ICP off the critical path on healthy
+    # frames (under the multiseq vmap it lowers to select — acceptable)
     retry = jax.lax.cond(
         _suspect(res),
         lambda: mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg,
                            guess, max_iter=cfg.reg.reg_max_iter_num_s2m,
-                           dis_thre_add=jnp.float32(1.0)),
+                           dis_thre_add=s2m_add + jnp.float32(1.0)),
         lambda: res)
     take = _suspect(res) & (retry.process_code == 1) \
         & (retry.confidence > res.confidence)
@@ -246,13 +248,23 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
 
     failed = res.process_code < 0
     low_conf = res.confidence < cfg.map.add_length_confidence_drop * baseline
-    add_next = jnp.where(failed | low_conf, jnp.float32(1.0),
+    # frame 0 registers against an EMPTY map and always "fails" — that
+    # must not arm the recovery gate for frame 1 (the loosest gate at
+    # exactly the moment the map is thinnest)
+    add_next = jnp.where(~first & (failed | low_conf), jnp.float32(1.0),
                          jnp.float32(0.0))
     healthy = (res.process_code == 1) & ~first
+    # baseline adaptation: fast EMA on normal healthy frames; SLOW EMA on
+    # low-confidence healthy frames so a genuinely sparser environment
+    # re-baselines within ~50 frames while 1-5-frame dips barely move it
+    # (a frozen baseline would arm the gate + disable dynamic removal
+    # forever after a dense->sparse transition)
     ema_next = jnp.where(
-        healthy & ~low_conf,
+        healthy,
         jnp.where(ema < 0.0, res.confidence,
-                  0.9 * ema + 0.1 * res.confidence),
+                  jnp.where(low_conf,
+                            0.98 * ema + 0.02 * res.confidence,
+                            0.9 * ema + 0.1 * res.confidence)),
         ema)
     eye = jnp.eye(4, dtype=jnp.float32)
     T_rel = jnp.where(first, eye, jnp.where(failed, guess, res.transform))

@@ -244,18 +244,15 @@ def main():
         out["odometry_fps"] = round(args.frames / (time.time() - t0), 1)
         bad = [i for i, c in enumerate(res_odo.codes) if c != 1]
         out["odometry_failed_frames"] = len(bad)
-        # degraded frames may legitimately fall back to the motion model;
-        # outside a fog bank every registration must be healthy (without
-        # --fog the window is empty and ANY failure trips the assert).
-        # In fog mode, isolated single-frame failures outside the window
-        # are the designed recovery behavior (motion-model fallback +
-        # add_length gate widening, `pipeline/odometry.py`); what must
-        # never happen is a cascade — consecutive failures mean the
+        # Health policy: degraded (fog-bank) frames may legitimately fall
+        # back to the motion model; the loop's corners run ~5.7 deg/frame
+        # yaw — 3-5x harsher than 10 Hz KITTI — so up to a few ISOLATED
+        # knife-edge corner frames may fail and recover on the next frame
+        # (the in-frame retry + add_length ladder, `pipeline/odometry.py`).
+        # Cascades (consecutive failures) must never happen: they mean the
         # widened gate did not re-converge.
-        # The loop's corners run ~5.7 deg/frame yaw — 3-5x harsher than
-        # 10 Hz KITTI — so single knife-edge corner frames may fail and
-        # recover on the next frame; cascades must never happen.
-        outside = [i for i in bad if not (fog_lo <= i < fog_hi + 3)]
+        outside = ([i for i in bad if not (fog_lo <= i < fog_hi + 3)]
+                   if args.fog else list(bad))
         runs_of_2 = [i for i, j in zip(outside, outside[1:]) if j == i + 1]
         assert not runs_of_2, f"failure cascade: {outside}"
         assert len(outside) <= (5 if args.fog else 3), \
