@@ -101,14 +101,16 @@ def fast_ground_filter(
 
     seg_min_z = jax.ops.segment_min(
         jnp.where(below, z, _BIG), cell_stat, num_segments=num_cells + 1)[:num_cells]
-    seg_cnt = jax.ops.segment_sum(
-        below.astype(jnp.int32), cell_stat, num_segments=num_cells + 1)[:num_cells]
-    # cell distance-to-station (mean range of the cell's points; the
-    # reference uses the first point's range, `cfilter.hpp:1735-1738`)
+    # count + range sum fused into one segment reduction (segment ops are
+    # the slow class here; the reference uses the FIRST point's range per
+    # cell, `cfilter.hpp:1735-1738` — we use the mean)
     rng_all = jnp.linalg.norm(xyz, axis=1)
-    seg_rng = jax.ops.segment_sum(
-        jnp.where(below, rng_all, 0.0), cell_stat, num_segments=num_cells + 1)[:num_cells]
-    cell_dist = seg_rng / jnp.maximum(seg_cnt, 1)
+    below_f = below.astype(jnp.float32)
+    cnt_rng = jax.ops.segment_sum(
+        jnp.stack([below_f, jnp.where(below, rng_all, 0.0)], -1),
+        cell_stat, num_segments=num_cells + 1)[:num_cells]
+    seg_cnt = cnt_rng[:, 0].astype(jnp.int32)
+    cell_dist = cnt_rng[:, 1] / jnp.maximum(cnt_rng[:, 0], 1.0)
 
     min_z = seg_min_z.reshape(g, g)
     neigh_min_z = _min_pool3(min_z)

@@ -86,3 +86,44 @@ def test_cli_flag_overrides():
     assert out.preprocess.vertical_ang_calib_on is True
     assert abs(out.preprocess.vertical_ang_correction_deg - 0.195) < 1e-9
     # unknown flags are warned about, not fatal
+
+
+def test_checkpoint_backend_span_fields(tmp_path):
+    """Resume must not lose the open span's registration-quality
+    accumulators — a fresh backend would give the next submap's adjacent
+    PGO edge full weight even when the pre-crash half of the span was
+    degraded (docs/ACCURACY.md span-weighted PGO)."""
+    import jax.numpy as jnp
+    from mulls_tpu.config import MullsConfig
+    from mulls_tpu.backend.submap import SlamBackend
+    from mulls_tpu.pipeline import checkpoint as ck
+
+    cfg = MullsConfig()
+    be = SlamBackend(cfg)
+    T = np.eye(4); T[0, 3] = 0.8
+    be.accumulate(T, confidence=0.45)
+    be.accumulate(T, confidence=0.04)  # degraded frame
+    be.frames_wo_opt = 7
+
+    path = str(tmp_path / "run.ckpt")
+    poses = np.tile(np.eye(4), (2, 1, 1))
+    ck.save_checkpoint(path, {"x": jnp.zeros(2)}, 2, poses, poses,
+                       [1, 1], [0.1, 0.1], backend=be)
+
+    be2 = SlamBackend(cfg)
+    ck.load_checkpoint(path, backend=be2)
+    assert abs(be2._span_min_conf - 0.04) < 1e-9
+    assert abs(be2._span_conf_sum - 0.49) < 1e-9
+    assert be2._span_conf_n == 2
+    assert be2.frames_wo_opt == 7
+    # older checkpoints without the span key restore cleanly too
+    import pickle
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    del payload["backend"]["span"]
+    del payload["backend"]["frames_wo_opt"]
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    be3 = SlamBackend(cfg)
+    assert ck.load_checkpoint(path, backend=be3) is not None
+    assert be3._span_min_conf == 1.0
