@@ -464,6 +464,33 @@ class SlamBackend:
                 else:
                     k = i - stable_index
                     t_lim[i], r_lim[i] = k * t0, k * r0
+            # adaptive cap: no node needs to move beyond the scale of the
+            # graph's actual inconsistency (the max initial edge residual
+            # across ALL active edges — after a transfer-corrected loop
+            # closure the conflict lives on an ADJACENT edge, so loop
+            # residuals alone would under-estimate it).  On a near-
+            # drift-free run the loop edges close within centimeters and
+            # this pins the graph to the noise floor instead of letting
+            # the span-de-weighted PGO wiggle mid-trajectory nodes by the
+            # full inter_submap bounds; on a genuinely drifted run the
+            # residual IS the drift and the cap does not bind.
+            max_rt = 0.0
+            max_rr = 0.0
+            for ed in active:
+                Ti = self.submaps[ed.i].pose
+                Tj = self.submaps[ed.j].pose
+                rel = np.linalg.inv(Ti) @ Tj
+                dt_ = np.linalg.norm(rel[:3, 3] - ed.T[:3, 3])
+                cR = np.clip((np.trace(ed.T[:3, :3].T @ rel[:3, :3]) - 1)
+                             * 0.5, -1.0, 1.0)
+                max_rt = max(max_rt, float(dt_))
+                max_rr = max(max_rr, float(np.arccos(cR)))
+            cap_t = 2.0 * max_rt + 0.2
+            # r_limit is a quaternion-component bound: the clamp caps the
+            # rotation ANGLE at 2*r_limit (`pgo.py _clamp_to_bounds`)
+            cap_r = max_rr + 0.01
+            t_lim = np.minimum(t_lim, cap_t)
+            r_lim = np.minimum(r_lim, cap_r)
             t_limit = jnp.asarray(t_lim)
             r_limit = jnp.asarray(r_lim)
         return PoseGraph(
