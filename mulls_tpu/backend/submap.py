@@ -474,17 +474,7 @@ class SlamBackend:
             # the span-de-weighted PGO wiggle mid-trajectory nodes by the
             # full inter_submap bounds; on a genuinely drifted run the
             # residual IS the drift and the cap does not bind.
-            max_rt = 0.0
-            max_rr = 0.0
-            for ed in active:
-                Ti = self.submaps[ed.i].pose
-                Tj = self.submaps[ed.j].pose
-                rel = np.linalg.inv(Ti) @ Tj
-                dt_ = np.linalg.norm(rel[:3, 3] - ed.T[:3, 3])
-                cR = np.clip((np.trace(ed.T[:3, :3].T @ rel[:3, :3]) - 1)
-                             * 0.5, -1.0, 1.0)
-                max_rt = max(max_rt, float(dt_))
-                max_rr = max(max_rr, float(np.arccos(cR)))
+            max_rt, max_rr = self._graph_inconsistency(active)
             cap_t = 2.0 * max_rt + 0.2
             # r_limit is a quaternion-component bound: the clamp caps the
             # rotation ANGLE at 2*r_limit (`pgo.py _clamp_to_bounds`)
@@ -503,11 +493,43 @@ class SlamBackend:
             fixed=jnp.asarray(fixed),
             t_limit=t_limit, r_limit=r_limit), active
 
+    def _graph_inconsistency(self, active) -> Tuple[float, float]:
+        """Max (translation, rotation-rad) residual of the active edges at
+        the CURRENT node poses — the scale of what a PGO could correct."""
+        max_rt = 0.0
+        max_rr = 0.0
+        for ed in active:
+            Ti = self.submaps[ed.i].pose
+            Tj = self.submaps[ed.j].pose
+            rel = np.linalg.inv(Ti) @ Tj
+            dt_ = np.linalg.norm(rel[:3, 3] - ed.T[:3, 3])
+            cR = np.clip((np.trace(ed.T[:3, :3].T @ rel[:3, :3]) - 1)
+                         * 0.5, -1.0, 1.0)
+            max_rt = max(max_rt, float(dt_))
+            max_rr = max(max_rr, float(np.arccos(cR)))
+        return max_rt, max_rr
+
     def optimize(self, extra_fixed=None) -> Optional[np.ndarray]:
         """PGO + wrong-edge veto (`graph_optimizer.cpp:713-754`).
         On success updates submap poses and returns them [S, 4, 4]."""
         s_cfg = self.cfg.submap
         graph, active = self.build_graph(extra_fixed)
+
+        # consistency gate: when every edge already closes within the
+        # configured floor there is nothing to correct — record the check
+        # as a successful (identity) optimization instead of letting a
+        # bounded noise-floor solve random-walk the nodes
+        max_rt, max_rr = self._graph_inconsistency(active)
+        if (max_rt < s_cfg.pgo_min_inconsistency_tran
+                and np.degrees(max_rr) < s_cfg.pgo_min_inconsistency_rot_deg):
+            self.events.append(
+                f"pgo: graph consistent (max residual {max_rt:.3f} m / "
+                f"{np.degrees(max_rr):.2f} deg) — node update skipped")
+            poses = np.stack([s.pose.copy() for s in self.submaps])
+            for s in self.submaps:
+                s.stable = True
+            self.optimized = poses
+            return poses
         # --pose_graph_optimization_method selects the solver profile of
         # the corresponding reference backend (`graph_optimizer.h:181-186`,
         # `mulls_slam.cpp:597-613`) — all three solve the same quaternion

@@ -341,6 +341,14 @@ class SubmapConfig:
     wrong_edge_tran_thre: float = 5.0
     wrong_edge_rot_thre_deg: float = 25.0
     wrong_edge_ratio_thre: float = 0.1
+    # TPU-build extension: when every active edge already closes within
+    # these residuals, the graph is consistent and the node update is
+    # skipped (edges recorded, nodes marked stable, cooling armed) —
+    # repeatedly "optimizing" a noise-floor graph lets bounded solves
+    # random-walk the trajectory (measured: 40 PGO rounds turned a
+    # 0.068% odometry run into 0.69% SLAM; with the skip it holds)
+    pgo_min_inconsistency_tran: float = 0.3
+    pgo_min_inconsistency_rot_deg: float = 0.6
     inter_submap_t_limit: float = 2.0
     inter_submap_r_limit: float = 0.1
     inner_submap_t_limit: float = 0.1
