@@ -19,6 +19,7 @@ Two kinds of configuration live here:
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -584,7 +585,26 @@ def _apply_flag_lines(cfg: MullsConfig, lines) -> MullsConfig:
     for sec, kv in sections.items():
         if kv:
             updates[sec] = dataclasses.replace(getattr(cfg, sec), **kv)
-    return dataclasses.replace(cfg, **updates) if updates else cfg
+    cfg = dataclasses.replace(cfg, **updates) if updates else cfg
+    return derive_shapes(cfg)
+
+
+def derive_shapes(cfg: MullsConfig) -> MullsConfig:
+    """Derive static shape knobs from the operating point.
+
+    The ground-filter grid only needs to cover the dist-filtered cloud
+    extent (2 * max_dist_used across); every [G*G]-sized table, pick gather
+    and pool in ops/ground.py scales with it, so shrink the static window
+    to the needed span (never grow past the ShapeConfig default — out-of-
+    window points fall back to the unground path by construction)."""
+    span = 2.0 * cfg.preprocess.max_dist_used / max(cfg.ground.gf_grid_size,
+                                                    1e-3)
+    need = int(math.ceil(span)) + 4
+    gd = min(cfg.shapes.grid_dim, max(32, -(-need // 8) * 8))
+    if gd != cfg.shapes.grid_dim:
+        cfg = dataclasses.replace(
+            cfg, shapes=dataclasses.replace(cfg.shapes, grid_dim=gd))
+    return cfg
 
 
 def load_flagfile(path: str, base: Optional[MullsConfig] = None) -> MullsConfig:

@@ -122,12 +122,19 @@ def fast_ground_filter(
     cell_ok = occupied & (reliable >= cfg.gf_reliable_neighbor_grid_thre)
     cell_is_ground = cell_ok & ((min_z - neigh_min_z) < cfg.gf_neigh_grid_h_thre)
 
+    # one packed per-cell table -> ONE [n, 5] gather (five separate gathers
+    # from [C]-tables cost ~0.3-0.5 ms each on this chip)
     flat = lambda a: a.reshape(-1)
-    p_cell_ok = jnp.where(in_grid, flat(cell_ok)[jnp.clip(cell, 0, num_cells - 1)], False)
-    p_cell_ground = jnp.where(in_grid, flat(cell_is_ground)[jnp.clip(cell, 0, num_cells - 1)], False)
-    p_min_z = flat(min_z)[jnp.clip(cell, 0, num_cells - 1)]
-    p_neigh_min_z = flat(neigh_min_z)[jnp.clip(cell, 0, num_cells - 1)]
-    p_cell_dist = flat(cell_dist.reshape(-1))[jnp.clip(cell, 0, num_cells - 1)]
+    cell_tab = jnp.stack([
+        flat(cell_ok).astype(jnp.float32),
+        flat(cell_is_ground).astype(jnp.float32),
+        flat(min_z), flat(neigh_min_z), flat(cell_dist)], axis=-1)  # [C, 5]
+    pc = cell_tab[jnp.clip(cell, 0, num_cells - 1)]
+    p_cell_ok = in_grid & (pc[:, 0] > 0.5)
+    p_cell_ground = in_grid & (pc[:, 1] > 0.5)
+    p_min_z = pc[:, 2]
+    p_neigh_min_z = pc[:, 3]
+    p_cell_dist = pc[:, 4]
 
     # pre-gate unground (`cfilter.hpp:1740-1754`); points outside the
     # static grid window also go unground (the reference's grid always
@@ -180,37 +187,49 @@ def fast_ground_filter(
         # per-cell RANSAC plane (`estimate_ground_normal_by_ransac`,
         # `cfilter.hpp:1909,2038-2054`: dist_thre = 0.3 * in-grid height
         # threshold, then PCL's optimizeCoefficients = LS refit on the
-        # consensus set).  All cells and all hypotheses run at once: each
-        # hypothesis picks 3 random in-band members per cell by
-        # segment-argmax over random scores, planes are scored by
-        # segment-summed inlier counts, and the best consensus set per
-        # cell feeds the moment-based LS refit below.
+        # consensus set).  All cells and all hypotheses run at once.
+        #
+        # Segment reductions are the slow op class on TPU (~2 ms each at
+        # 131k updates, nearly independent of width — width is free, op
+        # COUNT is the cost).  This block therefore uses exactly TWO:
+        #   1. one int32 segment_max of (rand14 << 17 | point_idx) packed
+        #      keys — all 3*n_hyp random member picks at once, the picked
+        #      xyz recovered by unpacking the winner index and gathering
+        #      (replaces the float segment_max + the coordinate-extraction
+        #      segment_sum of the round-1 version);
+        #   2. one segment_sum of width n_hyp*11 carrying, for EVERY
+        #      hypothesis, its inlier count AND the 10 LS-refit moment
+        #      features of its consensus set (plus one fallback block over
+        #      the full band) — hypothesis scoring and refit fused.
         gm = band
         gcell = jnp.where(gm, cell, num_cells)
         ransac_thre = 0.3 * cfg.gf_in_grid_h_thre
         n_hyp = 8  # vectorized equivalent of the reference's 20 seq. iters
         cell_of = jnp.clip(cell, 0, num_cells - 1)
 
-        # All 3*n_hyp random member picks in ONE segment_max + ONE
-        # segment_sum (scatter/segment reductions are the slow op class on
-        # TPU — the per-hypothesis loop version spent ~145 ms/frame on ~80
-        # of them; this block uses 3 total)
         n_pick = 3 * n_hyp
-        score = jnp.where(gm[:, None],
-                          jax.random.uniform(ku2, (n, n_pick)), -1.0)
-        cmax = jax.ops.segment_max(score, gcell,
+        assert n <= (1 << 17), "packed picks assume point index < 2^17"
+        # cheap per-(point, pick) integer hash: RANSAC member sampling needs
+        # decorrelation, not cryptographic quality — threefry bits for
+        # [n, 24] cost ~1.1 ms/frame on this chip, the murmur3-style
+        # finalizer below is pure VPU elementwise (~0.05 ms)
+        salt = jax.random.bits(ku2, (1, n_pick), jnp.uint32)
+        h = (jnp.arange(n, dtype=jnp.uint32)[:, None]
+             * jnp.uint32(2654435761) + salt)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x7FEB352D)
+        h = h ^ (h >> 15)
+        h = h * jnp.uint32(0x846CA68B)
+        h = h ^ (h >> 16)
+        rand14 = (h >> 18).astype(jnp.int32)
+        idx_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+        key = (rand14 << 17) | idx_col
+        key = jnp.where(gm[:, None], key, -1)
+        cmax = jax.ops.segment_max(key, gcell,
                                    num_segments=num_cells + 1)[:num_cells]
-        picked = gm[:, None] & (score == cmax[cell_of])  # [n, n_pick]
-        # per-pick xyz sum + pick count fused into one segment_sum
-        pick_feat = jnp.concatenate(
-            [(picked[:, :, None] * xyz[:, None, :]).reshape(n, n_pick * 3),
-             picked.astype(jnp.float32)], axis=1)
-        pick_sums = jax.ops.segment_sum(
-            pick_feat, gcell, num_segments=num_cells + 1)[:num_cells]
-        pts = pick_sums[:, :n_pick * 3].reshape(num_cells, n_pick, 3)
-        pcnt = pick_sums[:, n_pick * 3:]  # [C, n_pick]
-        # duplicate argmax ties are vanishing; normalize by pick count
-        pts = pts / jnp.maximum(pcnt, 1.0)[:, :, None]
+        pick_ok = cmax >= 0  # [C, n_pick] cell had any band point
+        pick_idx = jnp.where(pick_ok, cmax & ((1 << 17) - 1), 0)
+        pts = xyz[pick_idx.reshape(-1)].reshape(num_cells, n_pick, 3)
         p1 = pts[:, 0 * n_hyp:1 * n_hyp]  # [C, n_hyp, 3]
         p2 = pts[:, 1 * n_hyp:2 * n_hyp]
         p3 = pts[:, 2 * n_hyp:3 * n_hyp]
@@ -220,30 +239,47 @@ def fast_ground_filter(
         # degeneracy gate: duplicate/collinear samples give a ~zero cross
         # product whose "plane" would count every point as an inlier at
         # distance 0 — kill those hypotheses outright
-        ok_h = cn[..., 0] > 1e-6  # [C, n_hyp]
-        # point-to-plane distances for ALL hypotheses at once: [n, n_hyp]
-        d = jnp.abs(jnp.sum((xyz[:, None, :] - p1[cell_of])
-                            * nrm_h[cell_of], -1))
-        inl = gm[:, None] & (d <= ransac_thre) & ok_h[cell_of]
-        cnt_h = jnp.where(ok_h, jax.ops.segment_sum(
-            inl.astype(jnp.float32), gcell,
-            num_segments=num_cells + 1)[:num_cells], -1.0)  # [C, n_hyp]
-        best_h = jnp.argmax(cnt_h, axis=1)  # [C]
-        best_cnt = jnp.take_along_axis(cnt_h, best_h[:, None], 1)[:, 0]
-        best_inl = jnp.take_along_axis(inl, best_h[cell_of][:, None],
-                                       1)[:, 0]
-        # cells where every hypothesis degenerated fall back to the full
-        # in-band set (plain LS plane, the pre-RANSAC behavior)
-        best_inl = jnp.where((best_cnt > 0.0)[cell_of], best_inl, gm)
-
-        # LS refit on the per-cell consensus set (optimizeCoefficients)
-        gm = best_inl
-        gcell = jnp.where(gm, cell, num_cells)
+        ok_h = (cn[..., 0] > 1e-6) & pick_ok[:, :n_hyp]  # [C, n_hyp]
+        # point-to-plane distances for ALL hypotheses at once: [n, n_hyp].
+        # Plane params packed as [C, n_hyp, 4] (n, -n·p1) so the per-point
+        # lookup is ONE [n, 32] gather instead of two [n, 24] ones.
+        coeffs = jnp.concatenate(
+            [nrm_h, -jnp.sum(nrm_h * p1, -1, keepdims=True)], axis=-1)
+        # degenerate hypotheses get an unreachable offset so their d always
+        # fails the threshold (folds the ok_h mask into the same gather)
+        coeffs = jnp.where(ok_h[..., None], coeffs,
+                           jnp.zeros_like(coeffs).at[..., 3].set(_BIG))
+        pcoef = coeffs.reshape(num_cells, 4 * n_hyp)[cell_of]
+        pcoef = pcoef.reshape(n, n_hyp, 4)
+        d = jnp.abs(jnp.sum(pcoef[:, :, :3] * xyz[:, None, :], -1)
+                    + pcoef[:, :, 3])
+        inl = gm[:, None] & (d <= ransac_thre)
+        # fused hypothesis scoring + LS-refit moments: per hypothesis the
+        # 10-block [1, x, y, z, xx, xy, xz, yy, yz, zz] * inlier (col 0
+        # doubles as the inlier count); block n_hyp is the full-band
+        # fallback (plain LS plane, the pre-RANSAC behavior) used when
+        # every hypothesis degenerated
         x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
         feats = jnp.stack([jnp.ones_like(x), x, y, zz,
                            x * x, x * y, x * zz, y * y, y * zz, zz * zz], -1)
-        feats = jnp.where(gm[:, None], feats, 0.0)
-        sums = jax.ops.segment_sum(feats, gcell, num_segments=num_cells + 1)[:num_cells]
+        sel = jnp.concatenate([inl, gm[:, None]], axis=1)  # [n, n_hyp+1]
+        blocks = sel[:, :, None] * feats[:, None, :]  # [n, n_hyp+1, 11]
+        msum = jax.ops.segment_sum(
+            blocks.reshape(n, (n_hyp + 1) * 10),
+            gcell, num_segments=num_cells + 1)[:num_cells]
+        msum = msum.reshape(num_cells, n_hyp + 1, 10)
+        cnt_h = jnp.where(ok_h, msum[:, :n_hyp, 0], -1.0)  # [C, n_hyp]
+        best_h = jnp.argmax(cnt_h, axis=1)  # [C]
+        best_cnt = jnp.take_along_axis(cnt_h, best_h[:, None], 1)[:, 0]
+        use_fallback = best_cnt <= 0.0
+        best_inl = jnp.take_along_axis(inl, best_h[cell_of][:, None],
+                                       1)[:, 0]
+        best_inl = jnp.where(use_fallback[cell_of], gm, best_inl)
+
+        # LS refit on the per-cell consensus moments (optimizeCoefficients)
+        sums = jnp.where(
+            use_fallback[:, None], msum[:, n_hyp],
+            jnp.take_along_axis(msum, best_h[:, None, None], 1)[:, 0])
         cnt = jnp.maximum(sums[:, 0], 1.0)
         meanp = sums[:, 1:4] / cnt[:, None]
         exx = sums[:, 4:10] / cnt[:, None]

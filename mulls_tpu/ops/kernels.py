@@ -126,7 +126,7 @@ def nn_pallas(q_xyz: jnp.ndarray, q_mask: jnp.ndarray, p_xyz: jnp.ndarray,
 # Radius moments (adjacency @ features), with optional close-neighborhood
 # --------------------------------------------------------------------------
 
-def _moments_kernel(close_frac_ref, q_ref, pt_ref, p2_ref, r2_ref, f_ref,
+def _moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, cr2_ref, f_ref,
                     s_ref, c_ref=None):
     """c_ref=None compiles the single-matmul variant: the hot PCA pass
     needs no close-neighborhood sums, so the second [TQ,TP]@[TP,C] matmul
@@ -150,8 +150,8 @@ def _moments_kernel(close_frac_ref, q_ref, pt_ref, p2_ref, r2_ref, f_ref,
     s_ref[:] += jnp.dot(adj, f_ref[:], preferred_element_type=jnp.float32)
 
     if c_ref is not None:
-        cf = close_frac_ref[0]
-        cadj = adj * (d2 <= cf * r2).astype(jnp.float32)
+        cr2 = cr2_ref[i, :][:, None]                  # [TQ, 1] absolute r^2
+        cadj = adj * (d2 <= cr2).astype(jnp.float32)
         c_ref[:] += jnp.dot(cadj, f_ref[:],
                             preferred_element_type=jnp.float32)
 
@@ -159,7 +159,7 @@ def _moments_kernel(close_frac_ref, q_ref, pt_ref, p2_ref, r2_ref, f_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "with_close"))
 def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
                    p_mask: jnp.ndarray, r2: jnp.ndarray,
-                   feat_stack: jnp.ndarray, close_fraction_sq: jnp.ndarray,
+                   feat_stack: jnp.ndarray, close_r2: jnp.ndarray = None,
                    interpret: bool = False, with_close: bool = True):
     """Fused ``adj @ feat_stack`` neighborhood sums.
 
@@ -168,7 +168,8 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
       p_xyz/p_mask: [P,3]/[P] support; invalid rows contribute nothing
         (their feature rows are zeroed here, including the count column).
       feat_stack: [P,C] per-support features (col 0 is conventionally 1s).
-      close_fraction_sq: scalar; second output sums over d2 <= frac * r2.
+      close_r2: [Q] absolute squared close-radius; the second output sums
+        over d2 <= min(r2, close_r2).
 
     Returns (sums [Q,C], close_sums [Q,C]).
     """
@@ -185,34 +186,37 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
     p2 = jnp.sum(p * p, axis=1) + jnp.where(
         _pad_to(p_mask, pp, value=False), 0.0, _BIG)
     r2p = _pad_to(r2.astype(jnp.float32), qp)
+    if close_r2 is None:
+        close_r2 = jnp.zeros_like(r2)
+    cr2p = _pad_to(jnp.broadcast_to(
+        jnp.asarray(close_r2, jnp.float32), (qn,)), qp)
 
     grid = (qp // TQ, pp // TP)
-    out_spec = pl.BlockSpec((TQ, cp), lambda i, j, *_: (i, 0),
+    out_spec = pl.BlockSpec((TQ, cp), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((qp, cp), jnp.float32)
     outs = pl.pallas_call(
         _moments_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((TQ, 3), lambda i, j, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, TP), lambda i, j, *_: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TP), lambda i, j, *_: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((qp // TQ, TQ), lambda i, j, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TP, cp), lambda i, j, *_: (j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[out_spec] * (2 if with_close else 1),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TP), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, cp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * (2 if with_close else 1),
         out_shape=[out_shape] * (2 if with_close else 1),
         interpret=interpret,
-    )(jnp.asarray([close_fraction_sq], jnp.float32),
-      q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ), f)
+    )(q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ),
+      cr2p.reshape(qp // TQ, TQ), f)
     sums = outs[0]
     csums = outs[1] if with_close else jnp.zeros_like(outs[0])
 

@@ -66,6 +66,7 @@ def radius_moments(
     radius: jnp.ndarray,
     p_feats: Optional[jnp.ndarray] = None,
     close_fraction_sq: Optional[float] = None,
+    close_r2: Optional[jnp.ndarray] = None,
     chunk: int = 1024,
 ) -> dict:
     """Masked neighborhood sums for all queries.
@@ -78,14 +79,21 @@ def radius_moments(
       p_feats: optional [P,F] per-support features to sum over neighbors.
       close_fraction_sq: if set (e.g. 0.64 per `pca.hpp:338`), also returns
         sums over the "close" sub-neighborhood d^2 < frac * r^2.
+      close_r2: alternative to close_fraction_sq — absolute squared close
+        radius, scalar or [Q] (the close set is d^2 <= min(r^2, close_r2)).
 
     Returns dict with:
       count [Q], sum_xyz [Q,3], sum_outer [Q,6] (xx,xy,xz,yy,yz,zz),
       feat_sum [Q,F] (if p_feats), and close_count / close_feat_sum
-      (if close_fraction_sq).
+      (if close_fraction_sq / close_r2).
     """
     qn = q_xyz.shape[0]
     r2 = jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (qn,))
+    if close_r2 is None and close_fraction_sq is not None:
+        close_r2 = close_fraction_sq * r2
+    with_close = close_r2 is not None
+    if with_close:
+        close_r2 = jnp.broadcast_to(jnp.asarray(close_r2, jnp.float32), (qn,))
 
     x, y, z = p_xyz[:, 0], p_xyz[:, 1], p_xyz[:, 2]
     cols = [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
@@ -101,10 +109,8 @@ def radius_moments(
     if use_pallas():
         from mulls_tpu.ops.kernels import moments_pallas
         sums, csums = moments_pallas(
-            q_xyz, p_xyz, p_mask, r2, feat_stack,
-            jnp.float32(close_fraction_sq
-                        if close_fraction_sq is not None else 0.0),
-            with_close=close_fraction_sq is not None)
+            q_xyz, p_xyz, p_mask, r2, feat_stack, close_r2,
+            with_close=with_close)
         qmask_f = q_mask.astype(jnp.float32)[:, None]
         sums = sums * qmask_f
         out = {
@@ -114,7 +120,7 @@ def radius_moments(
         }
         if p_feats is not None:
             out["feat_sum"] = sums[:, n_base:]
-        if close_fraction_sq is not None:
+        if with_close:
             csums = csums * qmask_f
             out["close_count"] = csums[:, 0]
             if p_feats is not None:
@@ -125,21 +131,23 @@ def radius_moments(
     q_xyz_p = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
     q_mask_p = _pad_rows(q_mask, qn + qpad).reshape(-1, chunk)
     r2_p = _pad_rows(r2, qn + qpad).reshape(-1, chunk)
+    cr2_p = (_pad_rows(close_r2, qn + qpad).reshape(-1, chunk)
+             if with_close else jnp.zeros_like(r2_p))
 
     def one_chunk(args):
-        qc, qm, r2c = args
+        qc, qm, r2c, cr2c = args
         d2 = pairwise_sqdist(qc, p_xyz)  # [chunk, P]
         adj = (d2 <= r2c[:, None]).astype(jnp.float32) * pmask_f[None, :]
         adj = adj * qm[:, None].astype(jnp.float32)
         sums = adj @ feat_stack  # [chunk, 10+F]
-        if close_fraction_sq is not None:
-            close = (d2 <= close_fraction_sq * r2c[:, None]).astype(jnp.float32)
+        if with_close:
+            close = (d2 <= cr2c[:, None]).astype(jnp.float32)
             close = close * adj
             csums = close @ feat_stack
             return sums, csums
         return sums, jnp.zeros((qc.shape[0], 0), jnp.float32)
 
-    sums, csums = jax.lax.map(one_chunk, (q_xyz_p, q_mask_p, r2_p))
+    sums, csums = jax.lax.map(one_chunk, (q_xyz_p, q_mask_p, r2_p, cr2_p))
     sums = sums.reshape(-1, sums.shape[-1])[:qn]
     out = {
         "count": sums[:, 0],
@@ -148,7 +156,7 @@ def radius_moments(
     }
     if p_feats is not None:
         out["feat_sum"] = sums[:, n_base:]
-    if close_fraction_sq is not None:
+    if with_close:
         csums = csums.reshape(-1, csums.shape[-1])[:qn]
         out["close_count"] = csums[:, 0]
         if p_feats is not None:
@@ -209,13 +217,24 @@ def knn_class_counts(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
                      chunk: int = 256) -> dict:
     """K-capped radius neighborhood category statistics.
 
-    Parity with the reference's ``radiusSearch(..., max_nn=k)``
+    Parity target: the reference's ``radiusSearch(..., max_nn=k)``
     neighborhoods (`pca.hpp:326`) consumed by ``encode_stable_points``
-    (`cfilter.hpp:1093-1163`): for each query, consider (at most) the K
-    NEAREST support points within ``radius`` (scalar or per-query).  The
-    cap matters: normalizing category percentages by the full in-radius
-    count dilutes the descriptor in dense areas until featureless
-    keypoints all look alike and NCC matching collapses.
+    (`cfilter.hpp:1093-1163`) consider (at most) the K NEAREST support
+    points within ``radius``.  The cap matters: normalizing category
+    percentages by the full in-radius count dilutes the descriptor in
+    dense areas until featureless keypoints all look alike and NCC
+    matching collapses.
+
+    Round-2 redesign: the exact per-chunk ``top_k`` over a [chunk, P]
+    distance block cost ~13 ms/frame on the MXU-starved VPU.  Instead the
+    cap is realized statistically by a TWO-PASS radius shrink through the
+    fused moments kernel: pass 1 measures the in-radius density, pass 2
+    re-measures with the radius scaled so the expected count equals K
+    (surface scaling: count grows ~r^2 on LiDAR feature neighborhoods, so
+    r'^2 = r^2 * K/count).  The close/far split keeps the reference's
+    absolute 0.64 r_base^2 boundary; when the shrunk radius falls inside
+    it every neighbor counts as close — exactly what the K-nearest cap
+    does in dense areas.
 
     Returns dict with ``count [Q]``, ``close_counts [Q,C]``,
     ``far_counts [Q,C]`` (split at d^2 < close_r2, the reference's
@@ -223,31 +242,23 @@ def knn_class_counts(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
     """
     qn = q_xyz.shape[0]
     r2 = jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (qn,))
-    qpad = -qn % chunk
-    q_pad = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
-    r2_pad = jnp.concatenate(
-        [r2, jnp.zeros((qpad,), jnp.float32)]).reshape(-1, chunk)
-    inval = jnp.where(p_mask, 0.0, _BIG)[None, :]
-
-    def one_chunk(args):
-        qc, r2c = args
-        d2 = pairwise_sqdist(qc, p_xyz) + inval  # [chunk, P]
-        neg, idx = jax.lax.top_k(-d2, k)  # K nearest
-        d2k = -neg  # [chunk, k]
-        within = d2k <= r2c[:, None]
-        oh = class_onehot[idx]  # [chunk, k, C]
-        close = within & (d2k < close_r2)
-        far = within & ~close
-        return (jnp.sum(within, axis=1),
-                jnp.sum(oh * close[..., None], axis=1),
-                jnp.sum(oh * far[..., None], axis=1),
-                jnp.sum(p_intensity[idx] * within, axis=1))
-
-    count, close_c, far_c, int_sum = jax.lax.map(one_chunk, (q_pad, r2_pad))
+    m1 = radius_moments(q_xyz, q_mask, p_xyz, p_mask,
+                        jnp.broadcast_to(jnp.asarray(radius, jnp.float32),
+                                         (qn,)), chunk=chunk)
+    count1 = jnp.maximum(m1["count"], 1.0)
+    r2s = r2 * jnp.minimum(1.0, jnp.float32(k) / count1)
+    feats = jnp.concatenate(
+        [class_onehot.astype(jnp.float32), p_intensity[:, None]], axis=1)
+    m2 = radius_moments(q_xyz, q_mask, p_xyz, p_mask, jnp.sqrt(r2s),
+                        p_feats=feats,
+                        close_r2=jnp.minimum(jnp.float32(close_r2), r2s),
+                        chunk=chunk)
     nC = class_onehot.shape[-1]
+    total_c = m2["feat_sum"][:, :nC]
+    close_c = m2["close_feat_sum"][:, :nC]
     return {
-        "count": count.reshape(-1)[:qn] * q_mask,
-        "close_counts": close_c.reshape(-1, nC)[:qn] * q_mask[:, None],
-        "far_counts": far_c.reshape(-1, nC)[:qn] * q_mask[:, None],
-        "int_sum": int_sum.reshape(-1)[:qn] * q_mask,
+        "count": m2["count"] * q_mask,
+        "close_counts": close_c * q_mask[:, None],
+        "far_counts": (total_c - close_c) * q_mask[:, None],
+        "int_sum": m2["feat_sum"][:, nC] * q_mask,
     }

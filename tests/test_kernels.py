@@ -51,7 +51,7 @@ def test_moments_parity(rng):
                        y * y, y * z, z * z], axis=1)
     stack = jnp.concatenate([stack, feats], axis=1)
     r2 = jnp.full((q.shape[0],), r * r, jnp.float32)
-    sums, csums = moments_pallas(q, p, pm, r2, stack, jnp.float32(0.64),
+    sums, csums = moments_pallas(q, p, pm, r2, stack, 0.64 * r2,
                                  interpret=True)
     qmf = np.asarray(qm).astype(np.float32)[:, None]
     sums = np.asarray(sums) * qmf
