@@ -149,7 +149,10 @@ class FeatureConfig:
     # whitelists within the labeled radius
     semantic_assist_on: bool = False
     semantic_labeled_radius: float = 45.0
-    pca_down_rate: int = 1
+    # PCA query stride (reference default 2, `mulls_slam.cpp:84`): only
+    # every rate-th unground point is PCA'd/classified; the support set
+    # stays the full cloud
+    pca_down_rate: int = 2
     unit_dist: float = 10.0  # distance-adaptive PCA unit distance
     use_distance_adaptive_pca: bool = False
     # classification thresholds

@@ -97,9 +97,18 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     ug_ts = raw.ts_ratio[ug_idx]
     ug_h = g.height[ug_idx]
 
-    # --- neighborhood PCA (`pca.hpp:294-354`)
+    # --- neighborhood PCA (`pca.hpp:294-354`).  The reference strides the
+    # QUERIES by pca_down_rate (default 2, `mulls_slam.cpp:84`,
+    # `pca.hpp:304`) while the kd-tree support stays the full cloud;
+    # unqueried points keep pt_num=0 and are never classified
+    # (`cfilter.hpp:2102`).  The compaction above is a uniform-random
+    # permutation, so "the first n_q rows" IS a random 1/rate subset —
+    # the TPU equivalent of the systematic stride.
+    n_q = shapes.n_unground // max(fcfg.pca_down_rate, 1)
+    q_xyz = ug_xyz[:n_q]
+    q_valid = ug_valid[:n_q]
     feats = pca_ops.pca_features(
-        ug_xyz, ug_valid, ug_xyz, ug_valid,
+        q_xyz, q_valid, ug_xyz, ug_valid,
         radius=fcfg.cloud_pca_neigh_r, min_k=fcfg.cloud_pca_neigh_k_min,
         distance_adaptive=fcfg.use_distance_adaptive_pca,
         unit_dist=fcfg.unit_dist, chunk=1024)
@@ -112,7 +121,7 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
 
     pz = jnp.abs(feats.principal[:, 2])
     nz = jnp.abs(feats.normal[:, 2])
-    z = ug_xyz[:, 2]
+    z = q_xyz[:, 2]
     linear = feats.valid & (feats.linearity > fcfg.linearity_thre)
     planar = feats.valid & ~linear & (feats.planarity > fcfg.planarity_thre)
     is_pillar = linear & (pz > sin_pillar)
@@ -125,8 +134,8 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # must also carry a whitelisted class label; beyond it (Semantic-KITTI
     # stops labeling ~50 m out) geometry alone decides
     if semantic:
-        ug_label = raw.label[ug_idx]
-        beyond = (jnp.sum(ug_xyz[:, :2] ** 2, -1)
+        ug_label = raw.label[ug_idx][:n_q]
+        beyond = (jnp.sum(q_xyz[:, :2] ** 2, -1)
                   > fcfg.semantic_labeled_radius ** 2)
 
         def lab_in(*ids):
@@ -147,8 +156,13 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     curv_gate = feats.valid & (feats.curvature > 0.3 * fcfg.curvature_thre)
     cand_idx, cand_valid = compact_topk_score(
         curv_gate, feats.curvature, shapes.n_vertex_full)
+    # support classes over the FULL unground cloud: unqueried rows keep
+    # class 0 (one_hot(-1) = zero row), exactly the reference's
+    # index_with_feature default for non-PCA'd points
     onehot = jax.nn.one_hot(class_id - 1, 4, dtype=jnp.float32)
-    onehot = onehot * ug_valid[:, None]
+    onehot = onehot * q_valid[:, None]
+    onehot_full = jnp.zeros((shapes.n_unground, 4), jnp.float32
+                            ).at[:n_q].set(onehot)
     # K-capped neighborhoods like the reference's radiusSearch(max_nn=K)
     # (`pca.hpp:326`): normalizing the category percentages by the full
     # in-radius count dilutes descriptors in dense areas until NCC
@@ -156,11 +170,12 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     r_desc = jnp.full((shapes.n_vertex_full,), fcfg.cloud_pca_neigh_r,
                       jnp.float32)
     if fcfg.use_distance_adaptive_pca:
-        dq = jnp.linalg.norm(ug_xyz[cand_idx], axis=-1)
+        dq = jnp.linalg.norm(q_xyz[cand_idx], axis=-1)
         r_desc = r_desc * jnp.sqrt(jnp.maximum(dq / fcfg.unit_dist, 1.0))
     m2 = nbr.knn_class_counts(
-        ug_xyz[cand_idx], cand_valid, ug_xyz, ug_valid, r_desc,
-        k=fcfg.cloud_pca_neigh_k, class_onehot=onehot, p_intensity=ug_int,
+        q_xyz[cand_idx], cand_valid, ug_xyz, ug_valid, r_desc,
+        k=fcfg.cloud_pca_neigh_k, class_onehot=onehot_full,
+        p_intensity=ug_int,
         close_r2=0.64 * fcfg.cloud_pca_neigh_r ** 2, chunk=256)
     cand_count = jnp.maximum(m2["count"].astype(jnp.float32), 1.0)
     close_counts = m2["close_counts"]  # pillar/beam/facade/roof
@@ -175,7 +190,7 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     cand_curv = feats.curvature[cand_idx]
     cand_class = class_id[cand_idx]
     cand_pz = jnp.abs(feats.principal[cand_idx, 2])
-    cand_z = ug_xyz[cand_idx, 2]
+    cand_z = q_xyz[cand_idx, 2]
     promoted = (cand_valid & (cand_class == 0)
                 & (cand_curv > fcfg.curvature_thre)
                 & (geo_count / cand_count > vertex_ratio_thre))
@@ -204,10 +219,11 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     direction = jnp.where((is_pillar | is_beam)[:, None], feats.principal,
                           feats.normal)
 
-    # --- build the full per-class clouds (budgeted compaction)
+    # --- build the full per-class clouds (budgeted compaction) from the
+    # PCA-queried subset (the only points that can carry a class)
     def unground_cloud(m, capacity, k):
-        return _gather_cloud(ug_xyz, direction, ug_int, strength, ug_h,
-                             ug_ts, m, capacity, k)
+        return _gather_cloud(q_xyz, direction, ug_int[:n_q], strength,
+                             ug_h[:n_q], ug_ts[:n_q], m, capacity, k)
 
     full = {}
     full["pillar"] = unground_cloud(is_pillar, shapes.n_pillar_full, keys[2])
@@ -252,9 +268,9 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # vertex cloud: stable keypoints, curvature saliency
     vx_idx, vx_valid = compact_topk_score(stable, cand_curv,
                                           fcfg.vertex_keep_num)
-    gi = cand_idx[vx_idx]
+    gi = cand_idx[vx_idx]  # indices into the queried subset (< n_q)
     full["vertex"] = FeatureCloud(
-        xyz=ug_xyz[gi], normal=feats.principal[gi],
+        xyz=q_xyz[gi], normal=feats.principal[gi],
         intensity=mean_int[vx_idx], strength=5.0 * feats.curvature[gi],
         height=ug_h[gi], ts_ratio=ug_ts[gi], mask=vx_valid)
     pct = lambda c: jnp.floor(100.0 * c / cand_count[:, None])
