@@ -146,10 +146,21 @@ def find_session_transform(anchor: List[Submap], new: List[Submap],
         # fallback the in-run loop closure uses.  Stacks are rasterized
         # once per submap (O(A+B)), not once per pair (O(A*B)).
         from mulls_tpu.backend.submap import bev_stack_of
-        stacks_a = [bev_stack_of(s) for s in anchor]
+        # new-side stacks are reused by every anchor -> keep all B of them;
+        # anchor stacks are used only within one inner sweep -> one-entry
+        # cache bounds peak device memory at O(B + 1) rasters instead of
+        # O(A + B) held across the whole all-pairs sweep
         stacks_b = [bev_stack_of(s) for s in new]
+        a_cache: dict = {}
+
+        def _stack_a(ai, a):
+            if ai not in a_cache:
+                a_cache.clear()
+                a_cache[ai] = bev_stack_of(a)
+            return a_cache[ai]
+
         votes = _collect(lambda ai, bi, a, b, k: bev_align_submaps(
-            a, b, stack_a=stacks_a[ai], stack_b=stacks_b[bi]))
+            a, b, stack_a=_stack_a(ai, a), stack_b=stacks_b[bi]))
         best_support = _best_cluster(votes)
         if events is not None:
             events.append(f"merge: BEV fallback — {len(votes)} votes, "

@@ -526,8 +526,21 @@ class SlamBackend:
                 f"pgo: graph consistent (max residual {max_rt:.3f} m / "
                 f"{np.degrees(max_rr):.2f} deg) — node update skipped")
             poses = np.stack([s.pose.copy() for s in self.submaps])
-            for s in self.submaps:
-                s.stable = True
+            # only nodes actually spanned by a loop (REG) edge earn the
+            # "stable" flag here: adjacent edges are near-zero-residual by
+            # construction, so an uncovered trajectory stretch is vacuously
+            # consistent and must not inherit the tight post-PGO bounds
+            # (`graph_optimizer.cpp:594-629` reserves those for loop-
+            # corrected nodes)
+            lo, hi = None, None
+            for ed in active:
+                if ed.kind == REG_EDGE:
+                    a, b = sorted((ed.i, ed.j))
+                    lo = a if lo is None else min(lo, a)
+                    hi = b if hi is None else max(hi, b)
+            if lo is not None:
+                for s in self.submaps[lo:hi + 1]:
+                    s.stable = True
             self.optimized = poses
             return poses
         # --pose_graph_optimization_method selects the solver profile of

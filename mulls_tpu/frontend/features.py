@@ -105,8 +105,16 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # permutation, so "the first n_q rows" IS a random 1/rate subset —
     # the TPU equivalent of the systematic stride.
     n_q = shapes.n_unground // max(fcfg.pca_down_rate, 1)
-    q_xyz = ug_xyz[:n_q]
-    q_valid = ug_valid[:n_q]
+    # Morton-order the query subset: the PCA moments kernel centers each
+    # query tile before its bf16 hi/lo split, so spatially-tight tiles keep
+    # the quantization noise negligible.  (The subset stays the same random
+    # 1/rate sample; only its row order changes.)
+    qo = pca_ops.morton_order(ug_xyz[:n_q])
+    q_xyz = ug_xyz[:n_q][qo]
+    q_valid = ug_valid[:n_q][qo]
+    q_int = ug_int[:n_q][qo]
+    q_ts = ug_ts[:n_q][qo]
+    q_h = ug_h[:n_q][qo]
     feats = pca_ops.pca_features(
         q_xyz, q_valid, ug_xyz, ug_valid,
         radius=fcfg.cloud_pca_neigh_r, min_k=fcfg.cloud_pca_neigh_k_min,
@@ -134,7 +142,7 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # must also carry a whitelisted class label; beyond it (Semantic-KITTI
     # stops labeling ~50 m out) geometry alone decides
     if semantic:
-        ug_label = raw.label[ug_idx][:n_q]
+        ug_label = raw.label[ug_idx][:n_q][qo]
         beyond = (jnp.sum(q_xyz[:, :2] ** 2, -1)
                   > fcfg.semantic_labeled_radius ** 2)
 
@@ -162,7 +170,7 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     onehot = jax.nn.one_hot(class_id - 1, 4, dtype=jnp.float32)
     onehot = onehot * q_valid[:, None]
     onehot_full = jnp.zeros((shapes.n_unground, 4), jnp.float32
-                            ).at[:n_q].set(onehot)
+                            ).at[qo].set(onehot)
     # K-capped neighborhoods like the reference's radiusSearch(max_nn=K)
     # (`pca.hpp:326`): normalizing the category percentages by the full
     # in-radius count dilutes descriptors in dense areas until NCC
@@ -222,8 +230,8 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # --- build the full per-class clouds (budgeted compaction) from the
     # PCA-queried subset (the only points that can carry a class)
     def unground_cloud(m, capacity, k):
-        return _gather_cloud(q_xyz, direction, ug_int[:n_q], strength,
-                             ug_h[:n_q], ug_ts[:n_q], m, capacity, k)
+        return _gather_cloud(q_xyz, direction, q_int, strength,
+                             q_h, q_ts, m, capacity, k)
 
     full = {}
     full["pillar"] = unground_cloud(is_pillar, shapes.n_pillar_full, keys[2])
@@ -268,16 +276,16 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # vertex cloud: stable keypoints, curvature saliency
     vx_idx, vx_valid = compact_topk_score(stable, cand_curv,
                                           fcfg.vertex_keep_num)
-    gi = cand_idx[vx_idx]  # indices into the queried subset (< n_q)
+    gi = cand_idx[vx_idx]  # indices into the (morton-ordered) query subset
     full["vertex"] = FeatureCloud(
         xyz=q_xyz[gi], normal=feats.principal[gi],
         intensity=mean_int[vx_idx], strength=5.0 * feats.curvature[gi],
-        height=ug_h[gi], ts_ratio=ug_ts[gi], mask=vx_valid)
+        height=q_h[gi], ts_ratio=q_ts[gi], mask=vx_valid)
     pct = lambda c: jnp.floor(100.0 * c / cand_count[:, None])
     desc_vec = jnp.concatenate([
         pct(close_counts)[vx_idx], pct(far_counts)[vx_idx],
         mean_int[vx_idx, None], (feats.curvature[gi] * 100.0)[:, None],
-        (ug_h[gi] * 30.0)[:, None]], axis=1)
+        (q_h[gi] * 30.0)[:, None]], axis=1)
     descriptors = VertexDescriptors(vec=desc_vec, mask=vx_valid)
 
     # --- NMS sharpening + fixed budgets -> down clouds

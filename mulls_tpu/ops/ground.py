@@ -15,11 +15,14 @@ Reference semantics preserved:
 TPU deviations (documented):
   * the grid is a static ``G x G`` window anchored at the cloud's min corner
     (points outside are treated as unground) instead of a per-frame
-    `ceil(extent/res)` allocation;
+    `ceil(extent/res)` allocation (G derives from max_dist_used /
+    gf_grid_size at config load, `config.derive_shapes`);
   * systematic `j % rate == 0` sampling becomes Bernoulli(1/rate);
-  * per-cell RANSAC plane (method 3) becomes a per-cell least-squares plane
-    from the cell's second moments over the in-band ground points — all
-    cells solved at once by the closed-form 3x3 eigensolver.  The |nz| > 0.8
+  * per-cell RANSAC plane (method 3) runs all cells and all 8 hypotheses
+    at once — 3-point minimal samples drawn by ONE packed-int32
+    segment_max, hypothesis scoring and consensus-set LS refit
+    (PCL optimizeCoefficients) fused into ONE wide segment_sum, final
+    plane from the closed-form 3x3 eigensolver.  The |nz| > 0.8
     acceptance gate is kept (`cfilter.hpp:1913`).
 """
 

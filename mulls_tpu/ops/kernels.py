@@ -146,21 +146,33 @@ def _moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, cr2_ref, f_ref,
     d2 = q2[:, None] + p2_ref[:] - 2.0 * cross        # [TQ, TP]
 
     r2 = r2_ref[i, :][:, None]                        # [TQ, 1]
-    adj = (d2 <= r2).astype(jnp.float32)
-    s_ref[:] += jnp.dot(adj, f_ref[:], preferred_element_type=jnp.float32)
+    f = f_ref[:]
+    # the adjacency is exactly 0/1 (bf16-exact); when the caller shipped a
+    # bf16 feature stack the matmul runs at full bf16 MXU rate with f32
+    # accumulation
+    adj = (d2 <= r2).astype(f.dtype)
+    # the package sets jax_default_matmul_precision=float32 for the f32
+    # geometry path; bf16 operands need DEFAULT or Mosaic rejects the
+    # fp32-precision bf16 matmul ("Bad lhs type")
+    prec = (jax.lax.Precision.DEFAULT if f.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    s_ref[:] += jnp.dot(adj, f, preferred_element_type=jnp.float32,
+                        precision=prec)
 
     if c_ref is not None:
         cr2 = cr2_ref[i, :][:, None]                  # [TQ, 1] absolute r^2
-        cadj = adj * (d2 <= cr2).astype(jnp.float32)
-        c_ref[:] += jnp.dot(cadj, f_ref[:],
-                            preferred_element_type=jnp.float32)
+        cadj = adj * (d2 <= cr2).astype(f.dtype)
+        c_ref[:] += jnp.dot(cadj, f, preferred_element_type=jnp.float32,
+                            precision=prec)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "with_close"))
+@functools.partial(jax.jit, static_argnames=("interpret", "with_close",
+                                              "matmul_dtype"))
 def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
                    p_mask: jnp.ndarray, r2: jnp.ndarray,
                    feat_stack: jnp.ndarray, close_r2: jnp.ndarray = None,
-                   interpret: bool = False, with_close: bool = True):
+                   interpret: bool = False, with_close: bool = True,
+                   matmul_dtype: str = "f32"):
     """Fused ``adj @ feat_stack`` neighborhood sums.
 
     Args:
@@ -182,6 +194,11 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
     f = _pad_to(_pad_to(
         feat_stack.astype(jnp.float32)
         * p_mask[:, None].astype(jnp.float32), pp), cp, axis=1)
+    if matmul_dtype == "bf16":
+        # caller asserts the stack's magnitudes tolerate 8-bit mantissas
+        # (e.g. one-hot class counts, small-int intensities) — NOT safe for
+        # the second-moment coordinate columns feeding covariance
+        f = f.astype(jnp.bfloat16)
     # push padded/invalid support out of every radius
     p2 = jnp.sum(p * p, axis=1) + jnp.where(
         _pad_to(p_mask, pp, value=False), 0.0, _BIG)
@@ -221,3 +238,88 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
     csums = outs[1] if with_close else jnp.zeros_like(outs[0])
 
     return sums[:qn, :cn], csums[:qn, :cn]
+
+
+# --------------------------------------------------------------------------
+# PCA moments: per-query-tile centered, hi/lo-split bf16 MXU path
+# --------------------------------------------------------------------------
+
+def _pca_moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, s_ref):
+    """Covariance moments at full bf16 MXU rate.
+
+    The covariance is shift-invariant, so the 10 moment features
+    [1, x, y, z, xx, xy, xz, yy, yz, zz] are built IN-KERNEL from support
+    coordinates centered at the query tile's mean and split hi/lo into two
+    bf16 halves (f32 = hi + lo with ~16 effective mantissa bits).  With
+    spatially-ordered queries (Morton, see ops.pca) the centered
+    magnitudes stay small enough that the quantization noise on the
+    covariance is orders below LiDAR sampling noise, while the single
+    [TQ,TP] @ [TP,20] matmul runs at the bf16 rate instead of XLA's
+    multi-pass f32 emulation.  d2 itself stays f32 (adjacency needs mm
+    accuracy at 100 m ranges).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
+
+    q = q_ref[:]                       # [TQ, 3] f32
+    q2 = jnp.sum(q * q, axis=1)
+    cross = jnp.dot(q, pt_ref[:], preferred_element_type=jnp.float32)
+    d2 = q2[:, None] + p2_ref[:] - 2.0 * cross     # [TQ, TP]
+    adj = (d2 <= r2_ref[i, :][:, None]).astype(jnp.bfloat16)
+
+    c = jnp.mean(q, axis=0)            # deterministic per i (same for all j)
+    px = pt_ref[0:1, :] - c[0]         # [1, TP] centered support coords
+    py = pt_ref[1:2, :] - c[1]
+    pz = pt_ref[2:3, :] - c[2]
+    f10 = jnp.concatenate(
+        [jnp.ones_like(px), px, py, pz,
+         px * px, px * py, px * pz, py * py, py * pz, pz * pz],
+        axis=0).T                      # [TP, 10] f32
+    hi = f10.astype(jnp.bfloat16)
+    lo = (f10 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    fh = jnp.concatenate([hi, lo], axis=1)         # [TP, 20]
+    fh = jnp.pad(fh, ((0, 0), (0, 128 - 20)))
+    s_ref[:] += jnp.dot(adj, fh, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pca_moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
+                       p_mask: jnp.ndarray, r2: jnp.ndarray,
+                       interpret: bool = False):
+    """Returns (count [Q], mean-shifted sum_xyz [Q,3], sum_outer [Q,6]) —
+    moments about a per-tile center; feed straight into cov_from_moments
+    (covariance is shift-invariant)."""
+    qn, pn = q_xyz.shape[0], p_xyz.shape[0]
+    qp, pp = _round_up(qn, TQ), _round_up(pn, TP)
+    q = _pad_to(q_xyz.astype(jnp.float32), qp)
+    p = _pad_to(p_xyz.astype(jnp.float32), pp)
+    p2 = jnp.sum(p * p, axis=1) + jnp.where(
+        _pad_to(p_mask, pp, value=False), 0.0, _BIG)
+    r2p = _pad_to(r2.astype(jnp.float32), qp)
+
+    grid = (qp // TQ, pp // TP)
+    s = pl.pallas_call(
+        _pca_moments_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TP), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TQ, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, 128), jnp.float32),
+        interpret=interpret,
+    )(q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ))
+    m = s[:qn, :10] + s[:qn, 10:20]    # hi + lo halves
+    return m[:, 0], m[:, 1:4], m[:, 4:10]

@@ -68,6 +68,8 @@ def radius_moments(
     close_fraction_sq: Optional[float] = None,
     close_r2: Optional[jnp.ndarray] = None,
     chunk: int = 1024,
+    count_only: bool = False,
+    matmul_dtype: str = "f32",
 ) -> dict:
     """Masked neighborhood sums for all queries.
 
@@ -96,7 +98,15 @@ def radius_moments(
         close_r2 = jnp.broadcast_to(jnp.asarray(close_r2, jnp.float32), (qn,))
 
     x, y, z = p_xyz[:, 0], p_xyz[:, 1], p_xyz[:, 2]
-    cols = [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
+    if count_only:
+        # skip the 9 coordinate-moment columns (callers that only consume
+        # count/feat_sum, e.g. the NCC descriptor passes); this is also the
+        # mode where matmul_dtype="bf16" is safe — no squared-coordinate
+        # magnitudes in the stack
+        cols = [jnp.ones_like(x)]
+    else:
+        cols = [jnp.ones_like(x), x, y, z,
+                x * x, x * y, x * z, y * y, y * z, z * z]
     n_base = len(cols)
     nf = 0
     if p_feats is not None:
@@ -106,26 +116,27 @@ def radius_moments(
         [c[:, None] if c.ndim == 1 else c for c in cols], axis=1)  # [P, 10+F]
     pmask_f = p_mask.astype(jnp.float32)
 
-    if use_pallas():
-        from mulls_tpu.ops.kernels import moments_pallas
-        sums, csums = moments_pallas(
-            q_xyz, p_xyz, p_mask, r2, feat_stack, close_r2,
-            with_close=with_close)
-        qmask_f = q_mask.astype(jnp.float32)[:, None]
-        sums = sums * qmask_f
-        out = {
-            "count": sums[:, 0],
-            "sum_xyz": sums[:, 1:4],
-            "sum_outer": sums[:, 4:10],
-        }
+    def build_out(sums, csums):
+        out = {"count": sums[:, 0]}
+        if not count_only:
+            out["sum_xyz"] = sums[:, 1:4]
+            out["sum_outer"] = sums[:, 4:10]
         if p_feats is not None:
             out["feat_sum"] = sums[:, n_base:]
         if with_close:
-            csums = csums * qmask_f
             out["close_count"] = csums[:, 0]
             if p_feats is not None:
                 out["close_feat_sum"] = csums[:, n_base:]
         return out
+
+    if use_pallas():
+        from mulls_tpu.ops.kernels import moments_pallas
+        sums, csums = moments_pallas(
+            q_xyz, p_xyz, p_mask, r2, feat_stack, close_r2,
+            with_close=with_close, matmul_dtype=matmul_dtype)
+        qmask_f = q_mask.astype(jnp.float32)[:, None]
+        return build_out(sums * qmask_f,
+                         csums * qmask_f if with_close else csums)
 
     qpad = -qn % chunk
     q_xyz_p = _pad_rows(q_xyz, qn + qpad).reshape(-1, chunk, 3)
@@ -149,19 +160,8 @@ def radius_moments(
 
     sums, csums = jax.lax.map(one_chunk, (q_xyz_p, q_mask_p, r2_p, cr2_p))
     sums = sums.reshape(-1, sums.shape[-1])[:qn]
-    out = {
-        "count": sums[:, 0],
-        "sum_xyz": sums[:, 1:4],
-        "sum_outer": sums[:, 4:10],
-    }
-    if p_feats is not None:
-        out["feat_sum"] = sums[:, n_base:]
-    if with_close:
-        csums = csums.reshape(-1, csums.shape[-1])[:qn]
-        out["close_count"] = csums[:, 0]
-        if p_feats is not None:
-            out["close_feat_sum"] = csums[:, n_base:]
-    return out
+    csums = csums.reshape(-1, csums.shape[-1])[:qn] if with_close else csums
+    return build_out(sums, csums)
 
 
 def cov_from_moments(count: jnp.ndarray, sum_xyz: jnp.ndarray,
@@ -244,15 +244,18 @@ def knn_class_counts(q_xyz: jnp.ndarray, q_mask: jnp.ndarray,
     r2 = jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (qn,))
     m1 = radius_moments(q_xyz, q_mask, p_xyz, p_mask,
                         jnp.broadcast_to(jnp.asarray(radius, jnp.float32),
-                                         (qn,)), chunk=chunk)
+                                         (qn,)), chunk=chunk,
+                        count_only=True, matmul_dtype="bf16")
     count1 = jnp.maximum(m1["count"], 1.0)
     r2s = r2 * jnp.minimum(1.0, jnp.float32(k) / count1)
+    # category one-hots and small-int intensities are bf16-exact; the
+    # count-only stack carries no squared-coordinate columns
     feats = jnp.concatenate(
         [class_onehot.astype(jnp.float32), p_intensity[:, None]], axis=1)
     m2 = radius_moments(q_xyz, q_mask, p_xyz, p_mask, jnp.sqrt(r2s),
                         p_feats=feats,
                         close_r2=jnp.minimum(jnp.float32(close_r2), r2s),
-                        chunk=chunk)
+                        chunk=chunk, count_only=True, matmul_dtype="bf16")
     nC = class_onehot.shape[-1]
     total_c = m2["feat_sum"][:, :nC]
     close_c = m2["close_feat_sum"][:, :nC]

@@ -23,6 +23,29 @@ from mulls_tpu.ops import neighbors as nbr
 _EPS = 1e-12
 
 
+def _part1by1(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 16 bits of v to even bit positions."""
+    v = v & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def morton_order(xyz: jnp.ndarray, res: float = 4.0) -> jnp.ndarray:
+    """Permutation placing spatially-adjacent points in adjacent rows (2D
+    Morton curve over ``res``-metre cells).  The PCA moments kernel centers
+    support coordinates at each query TILE's mean before the bf16 hi/lo
+    split — spatial ordering keeps tile extents to tens of metres so the
+    16-bit effective mantissa leaves covariance quantization noise far
+    below LiDAR sampling noise."""
+    gx = jnp.clip(((xyz[:, 0] + 512.0) / res), 0, 65535).astype(jnp.int32)
+    gy = jnp.clip(((xyz[:, 1] + 512.0) / res), 0, 65535).astype(jnp.int32)
+    code = (_part1by1(gx) << 1) | _part1by1(gy)
+    return jnp.argsort(code)
+
+
 def eigh_sym3x3(A: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Closed-form eigendecomposition of symmetric [..., 3, 3] matrices.
 
@@ -129,14 +152,26 @@ def pca_features(
         d = jnp.linalg.norm(q_xyz, axis=-1)
         scale = jnp.sqrt(jnp.maximum(d / unit_dist, 1.0))
         r = r * scale
-    m = nbr.radius_moments(q_xyz, q_mask, p_xyz, p_mask, r, chunk=chunk)
-    cov = nbr.cov_from_moments(m["count"], m["sum_xyz"], m["sum_outer"])
+    if nbr.use_pallas():
+        # per-tile-centered hi/lo bf16 moments (covariance is
+        # shift-invariant); call sites should order queries spatially
+        # (morton_order) so tile centers are tight
+        from mulls_tpu.ops.kernels import pca_moments_pallas
+        cnt, sx, so = pca_moments_pallas(q_xyz, p_xyz, p_mask, r * r)
+        qf = q_mask.astype(jnp.float32)
+        count = cnt * qf
+        cov = nbr.cov_from_moments(count, sx * qf[:, None],
+                                   so * qf[:, None])
+    else:
+        m = nbr.radius_moments(q_xyz, q_mask, p_xyz, p_mask, r, chunk=chunk)
+        count = m["count"]
+        cov = nbr.cov_from_moments(count, m["sum_xyz"], m["sum_outer"])
     vals, vecs = eigh_sym3x3(cov)
     vals = jnp.maximum(vals, 0.0)
     s = jnp.maximum(vals[:, 0] + vals[:, 1] + vals[:, 2], _EPS)
     l1 = jnp.maximum(vals[:, 0], _EPS)
     return PcaFeatures(
-        count=m["count"],
+        count=count,
         eigvals=vals,
         principal=vecs[..., 0],
         normal=vecs[..., 2],
@@ -144,5 +179,5 @@ def pca_features(
         linearity=(vals[:, 0] - vals[:, 1]) / l1,
         planarity=(vals[:, 1] - vals[:, 2]) / l1,
         sphericity=vals[:, 2] / l1,
-        valid=q_mask & (m["count"] > min_k),
+        valid=q_mask & (count > min_k),
     )

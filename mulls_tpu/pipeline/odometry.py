@@ -196,6 +196,7 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     # `s2m_frequency`, the scan-to-scan result stands instead of s2m.
     # (Only meaningful with the s2s module on; otherwise the warm-up local
     # map IS the previous frame, so s2m degenerates to s2s by itself.)
+    cadence_sel = jnp.bool_(False)
     if cfg.map.scan_to_scan_module_on and (
             cfg.map.s2m_frequency > 1
             or cfg.map.initial_scan2scan_frame_num > 0):
@@ -203,6 +204,7 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
         use_s2s = ((idx <= cfg.map.initial_scan2scan_frame_num)
                    | (idx % cfg.map.s2m_frequency != 0))
         s2s_ok = s2s.process_code == 1
+        cadence_sel = use_s2s & s2s_ok
         res = res.replace(
             transform=jnp.where(use_s2s & s2s_ok, s2s.transform,
                                 res.transform),
@@ -236,22 +238,28 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     # registration immediately when the first attempt is suspect.
     # lax.cond keeps the second ICP off the critical path on healthy
     # frames (under the multiseq vmap it lowers to select — acceptable)
+    # cadence-selected scan-to-scan frames must not be overridden by an
+    # s2m retry against the (deliberately skipped) thin warm-up map
+    suspect0 = _suspect(res) & ~cadence_sel
     retry = jax.lax.cond(
-        _suspect(res),
+        suspect0,
         lambda: mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg,
                            guess, max_iter=cfg.reg.reg_max_iter_num_s2m,
                            dis_thre_add=s2m_add + jnp.float32(1.0)),
         lambda: res)
-    take = _suspect(res) & (retry.process_code == 1) \
+    take = suspect0 & (retry.process_code == 1) \
         & (retry.confidence > res.confidence)
     res = jax.tree.map(lambda a, b: jnp.where(take, a, b), retry, res)
 
     failed = res.process_code < 0
     low_conf = res.confidence < cfg.map.add_length_confidence_drop * baseline
-    # frame 0 registers against an EMPTY map and always "fails" — that
-    # must not arm the recovery gate for frame 1 (the loosest gate at
-    # exactly the moment the map is thinnest)
-    add_next = jnp.where(~first & (failed | low_conf), jnp.float32(1.0),
+    # frame 0 registers against an EMPTY map and always "fails" — that must
+    # not arm the RECOVERY gate via the failure path; but the reference
+    # unconditionally widens the first real registration (i==1 gets
+    # add_length=1.0, `mulls_slam.cpp:391` — no initial guess exists yet),
+    # so `first` itself arms the cold-start widening for frame 1.  With the
+    # s2s module on this is moot (s2m always runs widened).
+    add_next = jnp.where(first | failed | low_conf, jnp.float32(1.0),
                          jnp.float32(0.0))
     healthy = (res.process_code == 1) & ~first
     # baseline adaptation: fast EMA on normal healthy frames; SLOW EMA on

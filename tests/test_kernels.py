@@ -69,3 +69,29 @@ def test_moments_parity(rng):
     np.testing.assert_allclose(csums[:, 10:],
                                np.asarray(ref["close_feat_sum"]),
                                rtol=1e-3, atol=1e-2)
+
+
+def test_pca_moments_parity(rng):
+    """The hi/lo bf16 per-tile-centered PCA moments must reproduce the f32
+    covariance path to well below LiDAR sampling noise."""
+    import jax.numpy as jnp
+    from mulls_tpu.ops.kernels import pca_moments_pallas
+    from mulls_tpu.ops import pca as pca_ops
+
+    q, qm, p, pm = _clouds(rng, qn=300, pn=2500)
+    # spatial ordering like the production call site
+    qo = pca_ops.morton_order(q)
+    q = q[qo]
+    qm = qm[qo]
+    r = 3.0
+    r2 = jnp.full((q.shape[0],), r * r, jnp.float32)
+    cnt, sx, so = pca_moments_pallas(q, p, pm, r2, interpret=True)
+    ref = neighbors.radius_moments(q, qm, p, pm, r)
+    cov_k = np.asarray(neighbors.cov_from_moments(cnt, sx, so))
+    cov_r = np.asarray(neighbors.cov_from_moments(
+        ref["count"], ref["sum_xyz"], ref["sum_outer"]))
+    m = np.asarray(qm) & (np.asarray(ref["count"]) > 3)
+    np.testing.assert_allclose(np.asarray(cnt)[np.asarray(qm)],
+                               np.asarray(ref["count"])[np.asarray(qm)],
+                               atol=0.5)
+    np.testing.assert_allclose(cov_k[m], cov_r[m], atol=2e-2)

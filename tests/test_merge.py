@@ -192,9 +192,16 @@ def test_merge_cli_from_checkpoints(two_sessions, tmp_path):
     from mulls_tpu.apps.map_merge import main
     out_dir = str(tmp_path / "merged")
     html = str(tmp_path / "merged_map.html")
+    # the merger must run at the sessions' operating point — pass the
+    # fixture's relaxed toy-scale gates the same way a user passes the
+    # run's flagfile/flags to the CLI (see _merge_cfg's rationale)
     rc = main(["--checkpoints", ",".join(paths), "--output_dir", out_dir,
                "--output_map_html", html,
-               "--json_out", str(tmp_path / "merge.json")])
+               "--json_out", str(tmp_path / "merge.json"),
+               "--map_to_map_min_cor_ratio=0.12",
+               "--corr_dis_thre=3.5", "--corr_dis_thre_min=0.6",
+               "--min_total_corr_num=30", "--min_neccessary_corr_num=10",
+               "--teaser_min_inlier_count=6"])
     assert rc == 0
     import json
     import os

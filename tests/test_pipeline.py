@@ -21,10 +21,12 @@ KITTI_CFG = "/root/reference/script/config/lo_gflag_list_kitti_urban.txt"
 
 @pytest.mark.skipif(not os.path.isdir(DEMO), reason="demo data not mounted")
 def test_demo_odometry_golden_envelope():
-    """The CI-equivalent smoke test (SURVEY.md §4): 6 demo scans, forward
-    motion at the known KITTI-seq00 profile, healthy registrations."""
+    """The CI-equivalent smoke test (SURVEY.md §4): all 16 demo scans,
+    forward motion at the known KITTI-seq00 profile, healthy
+    registrations (the reference CI runs the full 16-scan demo,
+    `.github/workflows/build.yml:30-46`)."""
     cfg = load_flagfile(KITTI_CFG)
-    ds = FolderDataset(DEMO, cfg.shapes.n_raw, end=6)
+    ds = FolderDataset(DEMO, cfg.shapes.n_raw)
     res = OdometryPipeline(cfg).run(ds)
     assert all(c == 1 for c in res.codes)
     assert all(s < 0.1 for s in res.sigmas[1:])
