@@ -198,7 +198,8 @@ def main(argv=None) -> int:
         res = pipe.run(ds, progress=args.progress)
     elif cfg.submap.loop_closure_detection_on:
         pipe = SlamPipeline(cfg, checkpoint_path=args.checkpoint_path)
-        res = pipe.run(ds, progress=args.progress)
+        res = pipe.run(ds, progress=args.progress,
+                       stage_timing=args.timing_report_file is not None)
         backend = getattr(res, "backend", None)
         if backend is not None:
             print(f"[mulls_tpu] back-end: {len(backend.submaps)} submaps, "

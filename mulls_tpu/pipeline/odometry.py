@@ -124,10 +124,11 @@ def init_state(cfg: MullsConfig) -> SlamState:
     )
 
 
-def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
+def _feature_stage(state: SlamState, raw, cfg: MullsConfig, k_feat):
+    """Stage 1 (reference timing column 'feature'): motion-comp prep +
+    extract_semantic_pts + self-adaptive parameter update."""
     if isinstance(raw, PackedRawCloud):
         raw = unpack_raw(raw)  # scans travel quantized; decode on device
-    key, k_feat, k_map = jax.random.split(state.key, 3)
 
     # motion compensation (`cfilter.hpp:412-549`, `mulls_slam.cpp:704-715`).
     # Deviation from the reference (which undistorts AFTER registration,
@@ -158,7 +159,13 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
         lowered = jnp.maximum(1.0, ng_rate
                               - min_exp / jnp.maximum(ng_count, 1.0))
         ng_rate = jnp.where(ng_count < min_exp, lowered, ng_rate)
+    return frame, ng_rate
 
+
+def _register_stage(state: SlamState, frame, cfg: MullsConfig):
+    """Stage 2 (reference timing column 'reg'): scan-to-scan + scan-to-map
+    MULLS-ICP with cadence, in-frame retry, recovery bookkeeping, pose
+    composition."""
     first = state.frame_idx == 0
     if cfg.map.initial_guess_mode == 2:
         guess = state.T_prev
@@ -291,6 +298,18 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     removal_ok = (~failed) & (
         res.confidence
         >= cfg.map.dynamic_removal_confidence_drop * baseline)
+    code = jnp.where(first, 1, res.process_code)
+    out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma, code=code,
+                  confidence=res.confidence, iterations=res.iterations,
+                  vec=StepOut.pack_vec(T_rel, res.sigma, code,
+                                       res.confidence, res.iterations))
+    return out, T_prev_next, add_next, ema_next, dyn_max, removal_ok
+
+
+def _map_stage(state: SlamState, frame, T_rel, dyn_max, removal_ok,
+               cfg: MullsConfig, k_map):
+    """Stage 3 (reference timing column 'map'): dynamic removal + local-map
+    append/crop/rebudget + periodic direction-vector refresh."""
     local_map = update_local_map(state.local_map, frame, T_rel, dyn_max,
                                  cfg.map, k_map,
                                  removal_enabled=removal_ok)
@@ -307,8 +326,17 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
         local_map = jax.lax.cond(
             (state.frame_idx + 1) % freq == 0,
             refresh_linear_map_vectors, lambda m: m, local_map)
+    return local_map
 
-    new_state = SlamState(local_map=local_map, pose=pose,
+
+def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
+    key, k_feat, k_map = jax.random.split(state.key, 3)
+    frame, ng_rate = _feature_stage(state, raw, cfg, k_feat)
+    (out, T_prev_next, add_next, ema_next, dyn_max,
+     removal_ok) = _register_stage(state, frame, cfg)
+    local_map = _map_stage(state, frame, out.T_rel, dyn_max, removal_ok,
+                           cfg, k_map)
+    new_state = SlamState(local_map=local_map, pose=out.pose,
                           T_prev=T_prev_next,
                           frame_idx=state.frame_idx + 1, key=key,
                           prev_frame=(frame.down
@@ -317,16 +345,63 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
                           nonground_rate=ng_rate,
                           add_length=add_next,
                           conf_ema=ema_next)
-    code = jnp.where(first, 1, res.process_code)
-    out = StepOut(T_rel=T_rel, pose=pose, sigma=res.sigma, code=code,
-                  confidence=res.confidence, iterations=res.iterations,
-                  vec=StepOut.pack_vec(T_rel, res.sigma, code,
-                                       res.confidence, res.iterations))
     return new_state, out
 
 
 slam_step = partial(jax.jit, static_argnames=("cfg",),
                     donate_argnums=(0,))(_slam_step_impl)
+
+
+def staged_step_fns(cfg: MullsConfig):
+    """Three separately-jitted stage programs for the per-frame 4-stage
+    timing report (`--timing_report_file`, reference
+    `mulls_slam.cpp:805-827` + `dataio.hpp:2041-2060`: feature / map / reg
+    / loop columns).  Used only in timing mode — the production path runs
+    the fused `slam_scan`.  On a tunneled accelerator each stage boundary
+    pays a link round trip (the host must fetch to observe completion), so
+    absolute numbers include RTT; column RATIOS remain meaningful."""
+
+    @jax.jit
+    def feat_fn(state, raw):
+        key, k_feat, k_map = jax.random.split(state.key, 3)
+        frame, ng_rate = _feature_stage(state, raw, cfg, k_feat)
+        return frame, ng_rate, key, k_map
+
+    @jax.jit
+    def reg_fn(state, frame):
+        return _register_stage(state, frame, cfg)
+
+    @jax.jit
+    def map_fn(state, frame, T_rel, dyn_max, removal_ok, k_map):
+        return _map_stage(state, frame, T_rel, dyn_max, removal_ok, cfg,
+                          k_map)
+
+    def step(state, raw, timer):
+        """Run one frame through the three programs; `timer(name)` is a
+        context manager recording each span (host fetch inside)."""
+        with timer("feature"):
+            frame, ng_rate, key, k_map = feat_fn(state, raw)
+            np.asarray(frame.down["ground"].xyz[0, 0])  # force completion
+        with timer("reg"):
+            (out, T_prev_next, add_next, ema_next, dyn_max,
+             removal_ok) = reg_fn(state, frame)
+            np.asarray(out.vec[0])
+        with timer("map"):
+            local_map = map_fn(state, frame, out.T_rel, dyn_max,
+                               removal_ok, k_map)
+            np.asarray(local_map.clouds["ground"].xyz[0, 0])
+        new_state = SlamState(local_map=local_map, pose=out.pose,
+                              T_prev=T_prev_next,
+                              frame_idx=state.frame_idx + 1, key=key,
+                              prev_frame=(frame.down
+                                          if cfg.map.scan_to_scan_module_on
+                                          else None),
+                              nonground_rate=ng_rate,
+                              add_length=add_next,
+                              conf_ema=ema_next)
+        return new_state, out
+
+    return step
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -472,18 +547,43 @@ class OdometryPipeline:
 
         done = 0
         ship_ts = cfg.map.motion_compensation_method == 1
-        for k, batch in prefetch_segments(dataset, self.segment,
-                                          with_ts=ship_ts):
-            t0 = time.perf_counter()
-            state, vecs = slam_scan(state, batch, cfg)
-            vec_parts.append(vecs[:k])
-            done += k
-            if profile:
-                jax.block_until_ready(vecs)
-                timings[done - k:done, 2] = (time.perf_counter() - t0) \
-                    * 1e3 / k
-            if progress:
-                print(f"[{done}/{n}] segment dispatched", flush=True)
+        if profile:
+            # 4-stage timing mode (`mulls_slam.cpp:805-827`): frames run
+            # through three separately-compiled stage programs with a real
+            # host fetch per stage (block_until_ready lies on tunneled
+            # backends) so the feature/reg/map columns are measured, not
+            # structural zeros.  Loop-closure (col 3) belongs to the
+            # back-end; the plain odometry pipeline leaves it 0.
+            step = staged_step_fns(cfg)
+            spans: Dict[str, float] = {}
+
+            import contextlib
+
+            @contextlib.contextmanager
+            def timer(name):
+                t0 = time.perf_counter()
+                yield
+                spans[name] = (time.perf_counter() - t0) * 1e3
+
+            col = {"feature": 0, "map": 1, "reg": 2}
+            for i in range(n):
+                raw = jax.device_put(pack_raw_host(dataset[i],
+                                                   with_ts=ship_ts))
+                state, out = step(state, raw, timer)
+                vec_parts.append(out.vec[None])
+                for name, ms in spans.items():
+                    timings[i, col[name]] = ms
+                done += 1
+                if progress and (i + 1) % 16 == 0:
+                    print(f"[{i + 1}/{n}] staged", flush=True)
+        else:
+            for k, batch in prefetch_segments(dataset, self.segment,
+                                              with_ts=ship_ts):
+                state, vecs = slam_scan(state, batch, cfg)
+                vec_parts.append(vecs[:k])
+                done += k
+                if progress:
+                    print(f"[{done}/{n}] segment dispatched", flush=True)
 
         jax.block_until_ready(state.pose)
 

@@ -49,11 +49,28 @@ class SlamPipeline:
             frame,
             with_ts=self.cfg.map.motion_compensation_method == 1))
 
-    def run(self, dataset, progress: bool = False) -> OdometryResult:
+    def run(self, dataset, progress: bool = False,
+            stage_timing: bool = False) -> OdometryResult:
         cfg = self.cfg
         n = len(dataset)
         state = init_state(cfg)
         backend = SlamBackend(cfg)
+        staged = None
+        spans = {}
+        if stage_timing:
+            # 4-stage per-frame timing (`mulls_slam.cpp:805-827`): stage-
+            # split programs with real host fetches; cols = feature/map/
+            # reg and the host back-end fills loop below
+            from mulls_tpu.pipeline.odometry import staged_step_fns
+            import contextlib
+
+            @contextlib.contextmanager
+            def _timer(name):
+                t0 = time.perf_counter()
+                yield
+                spans[name] = (time.perf_counter() - t0) * 1e3
+
+            staged = (staged_step_fns(cfg), _timer)
 
         poses = np.tile(np.eye(4), (n, 1, 1))
         poses_odom = np.tile(np.eye(4), (n, 1, 1))  # pure odometry chain
@@ -91,18 +108,34 @@ class SlamPipeline:
         while i < n:
             seg_end = min(i + self.segment, n)
             t0 = time.perf_counter()
-            packed = [pack_raw_host(dataset[k]) for k in range(i, seg_end)]
-            k_real = len(packed)
-            # pad the tail so every dispatch keeps the same [segment] shape
-            packed = packed + [packed[-1]] * (self.segment - k_real)
-            batch = jax.device_put(_stack_packed(packed))
-            # the whole segment is ONE device program; one D2H for its
-            # packed outputs
-            state, vecs = slam_scan(state, batch, cfg)
+            if staged is not None:
+                step, _timer = staged
+                vec_rows = []
+                for k in range(i, seg_end):
+                    raw = jax.device_put(pack_raw_host(dataset[k]))
+                    state, out = step(state, raw, _timer)
+                    vec_rows.append(np.asarray(out.vec))
+                    timings[k, 0] = spans.get("feature", 0.0)
+                    timings[k, 1] = spans.get("map", 0.0)
+                    timings[k, 2] = spans.get("reg", 0.0)
+                k_real = seg_end - i
+                vecs_np = np.stack(vec_rows)
+            else:
+                packed = [pack_raw_host(dataset[k])
+                          for k in range(i, seg_end)]
+                k_real = len(packed)
+                # pad the tail so every dispatch keeps the same [segment]
+                # shape
+                packed = packed + [packed[-1]] * (self.segment - k_real)
+                batch = jax.device_put(_stack_packed(packed))
+                # the whole segment is ONE device program; one D2H for its
+                # packed outputs
+                state, vecs = slam_scan(state, batch, cfg)
+                vecs_np = np.asarray(vecs[:k_real])
+                t1 = time.perf_counter()
+                timings[i:seg_end, 2] = (t1 - t0) * 1e3 / (seg_end - i)
             T_rels, seg_sigma, seg_codes, seg_conf, _ = StepOut.unpack_vecs(
-                np.asarray(vecs[:k_real]))
-            t1 = time.perf_counter()
-            timings[i:seg_end, 2] = (t1 - t0) * 1e3 / (seg_end - i)
+                vecs_np)
 
             for k in range(i, seg_end):
                 T = T_rels[k - i]

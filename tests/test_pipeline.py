@@ -220,3 +220,31 @@ def test_odometry_sharp_turn_no_cascade(rng):
     gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     err = np.linalg.norm(res.poses[:, :3, 3] - gt[:, :3, 3], axis=1)
     assert err[-1] < 1.0, (err.max(), err[-1], codes)
+
+
+def test_stage_timing_report_columns():
+    """--timing_report_file parity (`mulls_slam.cpp:805-827`,
+    `dataio.hpp:2041-2060`): the staged timing mode must fill the
+    feature/map/reg columns with measured (non-zero) times."""
+    import numpy as np
+    cfg = ge._small_cfg()
+    rng = np.random.default_rng(3)
+    world = _loop_world(rng, n=40000, extent=20.0)
+    frames = [_simulate_scan(world,
+                             np.eye(4) + np.diag([0.0] * 4),
+                             cfg.shapes.n_raw, 25.0, rng)
+              for _ in range(3)]
+
+    class _DS:
+        def __len__(self):
+            return len(frames)
+
+        def __getitem__(self, i):
+            return frames[i]
+
+    res = OdometryPipeline(cfg).run(_DS(), profile=True)
+    t = res.timings
+    assert t.shape == (3, 4)
+    assert (t[:, 0] > 0).all(), t  # feature
+    assert (t[:, 1] > 0).all(), t  # map
+    assert (t[:, 2] > 0).all(), t  # reg
