@@ -273,6 +273,19 @@ class MapConfig:
     # uniform motion model: 0 none, 1 translation only, 2 full SE(3)
     initial_guess_mode: int = 2
     motion_compensation_method: int = 0
+    # WHEN undistortion happens: "post" is reference-faithful — register
+    # the distorted scan, then undistort the feature clouds with the
+    # MEASURED frame-to-frame transform before map append / s2s handoff
+    # (`mulls_slam.cpp:704-715`, `cfilter.hpp:519-549`); "pre" undistorts
+    # the raw scan up front with the motion-model PREDICTION (like the
+    # reference's optional first-ICP-iteration compensation,
+    # `cregistration.hpp:1249-1258`), so registration runs clean-vs-clean.
+    # Default "pre": on the rolling-shutter synthetic A/B
+    # (tools/motion_comp_ab.py, docs/ACCURACY.md) pre more than halves the
+    # drift of off/post at sustained 8 deg/frame yaw — post registers a
+    # distorted source against a clean map, leaving a half-sweep bias the
+    # prediction path avoids.
+    motion_compensation_timing: str = "pre"
     # scan-to-scan pre-registration refining the motion-model guess before
     # scan-to-map (`--scan_to_scan_module_on`, `mulls_slam.cpp:631-665`)
     scan_to_scan_module_on: bool = False
@@ -474,6 +487,7 @@ _FLAG_MAP = {
     "s2m_frequency": ("map", "s2m_frequency", int),
     "initial_guess_mode": ("map", "initial_guess_mode", int),
     "motion_compensation_method": ("map", "motion_compensation_method", int),
+    "motion_compensation_timing": ("map", "motion_compensation_timing", str),
     "semantic_assist_on": ("feature", "semantic_assist_on", bool),
     "scan_to_scan_module_on": ("map", "scan_to_scan_module_on", bool),
     "zupt_on_or_not": ("map", "zupt_on", bool),

@@ -131,17 +131,21 @@ def _feature_stage(state: SlamState, raw, cfg: MullsConfig, k_feat):
         raw = unpack_raw(raw)  # scans travel quantized; decode on device
 
     # motion compensation (`cfilter.hpp:412-549`, `mulls_slam.cpp:704-715`).
-    # Deviation from the reference (which undistorts AFTER registration,
-    # re-using the result): the fused step undistorts the raw scan up
-    # front with the uniform-motion prediction T_prev ~ T_rel, like the
-    # reference's optional first-iteration compensation
-    # (`cregistration.hpp:1249-1258`).
+    # timing="post" (reference-faithful, default): only stamp per-point
+    # timestamp ratios here; the feature clouds are undistorted AFTER
+    # registration with the measured T_rel (see _undistort_frame).
+    # timing="pre": undistort the raw scan up front with the uniform-motion
+    # prediction T_prev ~ T_rel, like the reference's optional
+    # first-iteration compensation (`cregistration.hpp:1249-1258`).
     if cfg.map.motion_compensation_method > 0:
         from mulls_tpu.ops import motion
         s = (motion.timestamp_ratio_from_azimuth(raw.xyz, raw.mask)
              if cfg.map.motion_compensation_method == 2 else raw.ts_ratio)
-        xyz_u = motion.undistort(raw.xyz, s, raw.mask, state.T_prev)
-        raw = raw.replace(xyz=xyz_u)
+        if cfg.map.motion_compensation_timing == "pre":
+            xyz_u = motion.undistort(raw.xyz, s, raw.mask, state.T_prev)
+            raw = raw.replace(xyz=xyz_u, ts_ratio=s)
+        else:
+            raw = raw.replace(ts_ratio=s)
 
     frame = extract_features(
         raw, cfg, k_feat,
@@ -329,11 +333,31 @@ def _map_stage(state: SlamState, frame, T_rel, dyn_max, removal_ok,
     return local_map
 
 
+def _undistort_frame(frame, T_rel, cfg: MullsConfig):
+    """Post-registration motion compensation (`mulls_slam.cpp:704-715`,
+    batched over the feature classes like `cfilter.hpp:519-549`): undistort
+    the registered frame's feature clouds with the MEASURED frame-to-frame
+    transform before they are appended to the map / handed to the next
+    frame's scan-to-scan target."""
+    if not (cfg.map.motion_compensation_method > 0
+            and cfg.map.motion_compensation_timing == "post"):
+        return frame
+    from mulls_tpu.ops import motion
+
+    def und(c):
+        return c.replace(xyz=motion.undistort(c.xyz, c.ts_ratio, c.mask,
+                                              T_rel))
+
+    return frame.replace(down={k: und(c) for k, c in frame.down.items()},
+                         full={k: und(c) for k, c in frame.full.items()})
+
+
 def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     key, k_feat, k_map = jax.random.split(state.key, 3)
     frame, ng_rate = _feature_stage(state, raw, cfg, k_feat)
     (out, T_prev_next, add_next, ema_next, dyn_max,
      removal_ok) = _register_stage(state, frame, cfg)
+    frame = _undistort_frame(frame, out.T_rel, cfg)
     local_map = _map_stage(state, frame, out.T_rel, dyn_max, removal_ok,
                            cfg, k_map)
     new_state = SlamState(local_map=local_map, pose=out.pose,
@@ -376,6 +400,10 @@ def staged_step_fns(cfg: MullsConfig):
         return _map_stage(state, frame, T_rel, dyn_max, removal_ok, cfg,
                           k_map)
 
+    @jax.jit
+    def und_fn(frame, T_rel):
+        return _undistort_frame(frame, T_rel, cfg)
+
     def step(state, raw, timer):
         """Run one frame through the three programs; `timer(name)` is a
         context manager recording each span (host fetch inside)."""
@@ -387,6 +415,7 @@ def staged_step_fns(cfg: MullsConfig):
              removal_ok) = reg_fn(state, frame)
             np.asarray(out.vec[0])
         with timer("map"):
+            frame = und_fn(frame, out.T_rel)
             local_map = map_fn(state, frame, out.T_rel, dyn_max,
                                removal_ok, k_map)
             np.asarray(local_map.clouds["ground"].xyz[0, 0])

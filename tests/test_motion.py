@@ -85,3 +85,61 @@ def test_undistort_straightens_skewed_wall():
         jnp.asarray(raw), jnp.asarray(ts), jnp.ones(n, bool), jnp.asarray(T)))
     # after compensation the wall must be flat (constant x)
     assert out[:, 0].std() < 0.02, out[:, 0].std()
+
+
+def test_post_registration_undistort_frame_roundtrip():
+    """timing="post" (`mulls_slam.cpp:704-715`): distorting a feature
+    cloud by the per-point interpolated motion and undistorting with the
+    measured T_rel must recover the original points."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from mulls_tpu.config import MullsConfig
+    from mulls_tpu.core import se3
+    from mulls_tpu.core.cloud import FeatureCloud, FeatureFrame, VertexDescriptors
+    from mulls_tpu.ops.motion import undistort
+    from mulls_tpu.pipeline.odometry import _undistort_frame
+
+    rng = np.random.default_rng(0)
+    n = 256
+    xyz = jnp.asarray(rng.uniform(-20, 20, (n, 3)).astype(np.float32))
+    ts = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=n) < 0.9)
+    T_rel = np.asarray(se3.make_transform(
+        jnp.asarray([0.8, 0.1, 0.0]), jnp.asarray([0.0, 0.0, 0.15])))
+    # exact inverse of the undistortion map y = R^s x + s t:
+    # x_dist = R^{-s} (y - s t), built per-point in numpy
+    from scipy.spatial.transform import Rotation as _Rot
+    rv = _Rot.from_matrix(np.asarray(T_rel[:3, :3])).as_rotvec()
+    xd = np.empty((n, 3), np.float32)
+    for i in range(n):
+        s = float(ts[i])
+        Rs = _Rot.from_rotvec(rv * s).as_matrix()
+        xd[i] = Rs.T @ (np.asarray(xyz[i]) - s * np.asarray(T_rel[:3, 3]))
+    x_dist = jnp.asarray(xd)
+
+    def cloud(x):
+        z = jnp.zeros((n,), jnp.float32)
+        return FeatureCloud(xyz=x, normal=jnp.zeros((n, 3), jnp.float32),
+                            intensity=z, strength=z, height=z,
+                            ts_ratio=ts, mask=mask)
+
+    frame = FeatureFrame(
+        full={"ground": cloud(x_dist)}, down={"ground": cloud(x_dist)},
+        descriptors=VertexDescriptors(vec=jnp.zeros((4, 11), jnp.float32),
+                                      mask=jnp.zeros(4, bool)),
+        bbx_min=jnp.zeros(3), bbx_max=jnp.zeros(3))
+    cfg = MullsConfig()
+    cfg = dataclasses.replace(cfg, map=dataclasses.replace(
+        cfg.map, motion_compensation_method=1,
+        motion_compensation_timing="post"))
+    out = _undistort_frame(frame, jnp.asarray(T_rel, jnp.float32), cfg)
+    got = np.asarray(out.down["ground"].xyz)
+    m = np.asarray(mask)
+    np.testing.assert_allclose(got[m], np.asarray(xyz)[m], atol=2e-3)
+    # timing="pre" config leaves the frame untouched here
+    cfg_pre = dataclasses.replace(cfg, map=dataclasses.replace(
+        cfg.map, motion_compensation_timing="pre"))
+    out2 = _undistort_frame(frame, jnp.asarray(T_rel, jnp.float32), cfg_pre)
+    np.testing.assert_allclose(np.asarray(out2.down["ground"].xyz),
+                               np.asarray(x_dist))
