@@ -113,8 +113,65 @@ def main():
                        "(wedged tunnel)")
     elif not ok:
         out["warn"] = f"codes={codes.tolist()}"
+
+    # --- second metric: end-to-end SLAM (disk decode -> front-end ->
+    # submap back-end with loop closure + PGO + end-of-run inner refine)
+    # on a 256-frame playlist — the reference's 10 Hz claim is this full
+    # loop (`mulls_slam.cpp:386-803`), loop closure ON.  Runs under its
+    # own deadline so a wedged tunnel still prints the line.
+    e2e: dict = {}
+
+    def _e2e():
+        import dataclasses
+        from mulls_tpu.pipeline.slam import SlamPipeline
+        cfg2 = dataclasses.replace(cfg, submap=dataclasses.replace(
+            cfg.submap, loop_closure_detection_on=True,
+            submap_accu_tran=1e9, submap_accu_rot=1e9,
+            submap_accu_frame=32))
+
+        class _Playlist:
+            """Maps a 256-frame back-and-forth drive onto the demo files;
+            every access decodes from disk through the native loader —
+            the IO cost is part of the metric."""
+
+            def __init__(self, ds, idx):
+                self.ds, self.idx = ds, idx
+
+            def __len__(self):
+                return len(self.idx)
+
+            def __getitem__(self, i):
+                return self.ds[self.idx[i]]
+
+        pl = _Playlist(ds, idx_list)
+        pipe = SlamPipeline(cfg2, segment=16)
+        t0 = time.perf_counter()
+        res = pipe.run(pl)
+        pipe.refine(res)
+        dt = time.perf_counter() - t0
+        e2e["fps"] = len(pl) / dt
+        e2e["codes_ok"] = all(c == 1 for c in res.codes)
+        be = getattr(res, "backend", None)
+        e2e["submaps"] = len(be.submaps) if be else 0
+        e2e["loop_edges"] = (sum(1 for e in be.edges if e.kind == 2)
+                             if be else 0)
+
+    if os.path.isdir(demo) and not th.is_alive():
+        th2 = threading.Thread(target=_e2e, daemon=True)
+        th2.start()
+        th2.join(timeout=900.0)
+        if "fps" in e2e:
+            out["slam_e2e_fps"] = round(e2e["fps"], 3)
+            out["slam_e2e_vs_baseline"] = round(e2e["fps"] / 10.0, 3)
+            out["slam_e2e_submaps"] = e2e["submaps"]
+            out["slam_e2e_loop_edges"] = e2e["loop_edges"]
+            if not e2e["codes_ok"]:
+                out["slam_e2e_warn"] = "unhealthy codes"
+        else:
+            out["slam_e2e_warn"] = "deadline hit (wedged tunnel)"
+
     print(json.dumps(out), flush=True)
-    if th.is_alive():
+    if th.is_alive() or ("fps" not in e2e and os.path.isdir(demo)):
         os._exit(0)  # a wedged fetch thread would hang teardown
 
 

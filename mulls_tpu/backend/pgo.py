@@ -122,6 +122,19 @@ def _edge_res_and_jac(ta, qa, tb, qb, t_meas, q_meas):
     return r, Ja, Jb
 
 
+def _huber_cost(r, sqrt_info, mask, robust_kernel: bool, delta: float):
+    """Total (optionally Huber-robustified) cost — the LM acceptance
+    metric.  rho(x) = x^2 for |x| <= delta, delta*(2|x| - delta) beyond."""
+    rw = jnp.einsum("eij,ej->ei", sqrt_info, r)
+    rn = jnp.linalg.norm(rw, axis=-1)
+    if robust_kernel:
+        cost = jnp.where(rn <= delta, rn * rn,
+                         delta * (2.0 * rn - delta))
+    else:
+        cost = rn * rn
+    return jnp.sum(cost * mask.astype(jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("iterations", "equal_weight",
                                    "diagonal_information", "robust_kernel"))
 def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
@@ -130,10 +143,17 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
                         diagonal_information: bool = False,
                         robust_kernel: bool = False,
                         huber_delta: float = 1.0):
-    """Runs LM iterations; returns (node_t, node_q, final_chi2).
+    """Runs ADAPTIVE Levenberg-Marquardt; returns (node_t, node_q,
+    final_chi2).
 
     Options mirror `pgo_param_t` (`utility.hpp:743-792`): equal weights,
-    diagonal-only information, Huber robustification.
+    diagonal-only information, Huber robustification.  Damping follows the
+    classic trust-region schedule ceres uses (`graph_optimizer.cpp:450-476`
+    runs ceres' LM): each proposal is ACCEPTED only if the (robustified)
+    cost decreases — accepted steps shrink lambda, rejected steps keep the
+    poses and grow it.  A solved graph therefore can never leave with a
+    worse cost than it entered with, which replaces the round-1
+    fixed-lambda fixed-iteration random walk at the noise floor.
     """
     m = graph.num_nodes
     info = graph.edge_info
@@ -143,14 +163,24 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
         info = jnp.eye(6) * info.diagonal(axis1=-2, axis2=-1)[..., None, :]
     sqrt_info = _sqrt_psd(info)
 
+    def residuals(node_t, node_q):
+        return jax.vmap(_edge_res_and_jac)(
+            node_t[graph.edge_i], node_q[graph.edge_i],
+            node_t[graph.edge_j], node_q[graph.edge_j],
+            graph.edge_t, graph.edge_q)
+
+    def cost_at(node_t, node_q):
+        r = jax.vmap(lambda ta, qa, tb, qb, tm, qm: _edge_residual(
+            _zero6, _zero6, _zero6, _zero6, ta, qa, tb, qb, tm, qm))(
+            node_t[graph.edge_i], node_q[graph.edge_i],
+            node_t[graph.edge_j], node_q[graph.edge_j],
+            graph.edge_t, graph.edge_q)
+        return _huber_cost(r, sqrt_info, graph.edge_mask, robust_kernel,
+                           huber_delta)
+
     def step(state, _):
-        node_t, node_q = state
-        ta = node_t[graph.edge_i]
-        qa = node_q[graph.edge_i]
-        tb = node_t[graph.edge_j]
-        qb = node_q[graph.edge_j]
-        r, Ja, Jb = jax.vmap(_edge_res_and_jac)(
-            ta, qa, tb, qb, graph.edge_t, graph.edge_q)
+        node_t, node_q, lam, best_cost = state
+        r, Ja, Jb = residuals(node_t, node_q)
         w_edge = graph.edge_mask.astype(jnp.float32)
         if robust_kernel:
             # Huber IRLS: effective weight delta/||r|| on H and g.  Both r
@@ -186,7 +216,7 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
         Hd = H.reshape(m * 6, m * 6)
         eye = jnp.eye(m * 6, dtype=jnp.float32)
         pin = jnp.repeat(diag_pin, 6)
-        Hd = Hd + jnp.diag(pin) + lm_lambda * eye \
+        Hd = Hd + jnp.diag(pin) + lam * eye \
             + 1e-8 * eye  # keep unconstrained nodes solvable
         delta = jnp.linalg.solve(Hd, -g.reshape(-1)).reshape(m, 6)
         delta = jnp.where(graph.fixed[:, None], 0.0, delta)
@@ -199,12 +229,20 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
         t_new, q_new = _clamp_to_bounds(t_new, q_new, graph.node_t,
                                         graph.node_q, graph.t_limit,
                                         graph.r_limit)
-        chi2 = jnp.sum(rW * rW)
-        return (t_new, q_new), chi2
+        new_cost = cost_at(t_new, q_new)
+        accept = new_cost < best_cost
+        t_next = jnp.where(accept, t_new, node_t)
+        q_next = jnp.where(accept, q_new, node_q)
+        lam_next = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                             jnp.minimum(lam * 5.0, 1e3))
+        cost_next = jnp.where(accept, new_cost, best_cost)
+        return (t_next, q_next, lam_next, cost_next), cost_next
 
-    (t, q), _ = jax.lax.scan(step, (graph.node_t, graph.node_q),
-                             None, length=iterations)
-    # final chi2 at the RETURNED poses (the per-step value is pre-update)
+    init_cost = cost_at(graph.node_t, graph.node_q)
+    (t, q, _, _), _ = jax.lax.scan(
+        step, (graph.node_t, graph.node_q, jnp.float32(lm_lambda),
+               init_cost), None, length=iterations)
+    # final chi2 (plain weighted SSE) at the RETURNED poses
     r, _, _ = jax.vmap(_edge_res_and_jac)(
         t[graph.edge_i], q[graph.edge_i], t[graph.edge_j], q[graph.edge_j],
         graph.edge_t, graph.edge_q)
@@ -235,15 +273,20 @@ def wrong_edge_check(graph: PoseGraph, node_t, node_q,
 
 def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
                                 lm_lambda: float = 1e-4,
-                                axis: str = "data"):
+                                axis: str = "data",
+                                robust_kernel: bool = False,
+                                huber_delta: float = 1.0):
     """Multi-chip PGO: EDGES are sharded over the mesh, each device builds
     the Hessian/gradient contributions of its local edges, and the reduced
     6Mx6M system is `psum`-ed and solved replicated (SURVEY.md §5.8 —
     collectives ride ICI; the dense solve stays on the MXU).
 
-    Edge count must be padded to a multiple of the mesh size (use
-    ``edge_mask`` for the padding).  Returns (node_t, node_q, chi2).
-    """
+    Feature parity with the local path: Huber robust kernel and ADAPTIVE
+    LM damping with cost-gated acceptance (every device computes the same
+    psum-reduced cost, so accept/reject decisions are replicated and
+    deterministic).  Edge count must be padded to a multiple of the mesh
+    size (use ``edge_mask`` for the padding).  Returns (node_t, node_q,
+    chi2)."""
     m = graph.num_nodes
     sqrt_info = _sqrt_psd(graph.edge_info)
 
@@ -251,11 +294,25 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
 
     def step_fn(node_t, node_q, edge_i, edge_j, edge_t, edge_q, sqrt_i,
                 edge_mask, fixed, t_limit, r_limit):
+        def cost_at(t, q):
+            r = jax.vmap(lambda ta, qa, tb, qb, tm, qm: _edge_residual(
+                _zero6, _zero6, _zero6, _zero6, ta, qa, tb, qb, tm, qm))(
+                t[edge_i], q[edge_i], t[edge_j], q[edge_j], edge_t, edge_q)
+            return jax.lax.psum(
+                _huber_cost(r, sqrt_i, edge_mask, robust_kernel,
+                            huber_delta), axis)
+
         def one_iter(state, _):
-            t, q = state
+            t, q, lam, best_cost = state
             r, Ja, Jb = jax.vmap(_edge_res_and_jac)(
                 t[edge_i], q[edge_i], t[edge_j], q[edge_j], edge_t, edge_q)
             w = edge_mask.astype(jnp.float32)
+            if robust_kernel:
+                rw_ = jnp.einsum("eij,ej->ei", sqrt_i, r)
+                rn = jnp.linalg.norm(rw_, axis=-1)
+                w = w * jnp.sqrt(jnp.where(
+                    rn > huber_delta,
+                    huber_delta / jnp.maximum(rn, 1e-9), 1.0))
             rW = jnp.einsum("eij,ej->ei", sqrt_i, r) * w[:, None]
             JaW = sqrt_i @ Ja * w[:, None, None]
             JbW = sqrt_i @ Jb * w[:, None, None]
@@ -272,10 +329,9 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
             # THE collective: reduce partial normal equations over chips
             H = jax.lax.psum(H, axis)
             g = jax.lax.psum(g, axis)
-            chi2 = jax.lax.psum(jnp.sum(rW * rW), axis)
             pin = jnp.repeat(jnp.where(fixed, 1e10, 0.0), 6)
             Hd = H.reshape(m * 6, m * 6) + jnp.diag(pin) \
-                + (lm_lambda + 1e-8) * jnp.eye(m * 6)
+                + (lam + 1e-8) * jnp.eye(m * 6)
             delta = jnp.linalg.solve(Hd, -g.reshape(-1)).reshape(m, 6)
             delta = jnp.where(fixed[:, None], 0.0, delta)
             dq = jnp.concatenate([jnp.ones((m, 1), jnp.float32),
@@ -286,10 +342,19 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
             if has_bounds:
                 t_new, q_new = _clamp_to_bounds(
                     t_new, q_new, node_t, node_q, t_limit, r_limit)
-            return (t_new, q_new), chi2
+            new_cost = cost_at(t_new, q_new)
+            accept = new_cost < best_cost
+            t_next = jnp.where(accept, t_new, t)
+            q_next = jnp.where(accept, q_new, q)
+            lam_next = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                                 jnp.minimum(lam * 5.0, 1e3))
+            cost_next = jnp.where(accept, new_cost, best_cost)
+            return (t_next, q_next, lam_next, cost_next), cost_next
 
-        (t, q), chi2s = jax.lax.scan(one_iter, (node_t, node_q), None,
-                                     length=iterations)
+        init_cost = cost_at(node_t, node_q)
+        (t, q, _, _), _ = jax.lax.scan(
+            one_iter, (node_t, node_q, jnp.float32(lm_lambda), init_cost),
+            None, length=iterations)
         # final chi2 at the returned poses (per-step chi2 is pre-update)
         r, _, _ = jax.vmap(_edge_res_and_jac)(
             t[edge_i], q[edge_i], t[edge_j], q[edge_j], edge_t, edge_q)

@@ -90,3 +90,34 @@ def test_voxel_table_stats():
     assert float(table.count[slot]) == 500
     np.testing.assert_allclose(np.asarray(table.mean[slot]), pts.mean(0),
                                atol=1e-3)
+
+
+def test_ndt_coarse_voxels_direct7_step_control(rng):
+    """At 2 m voxels (the reference's robust operating range thanks to
+    DIRECT7 + More-Thuente, `ndt_omp.h:51-72`) the DIRECT7 + step-control
+    path must converge where the bare DIRECT1 fixed-step variant has no
+    robustness guarantee."""
+    world = _world(rng, n=8000)
+    T_true = _true_T()
+    src = (world - T_true[:3, 3]) @ T_true[:3, :3]  # inverse-transform
+    src = src.astype(np.float32)
+    mask = jnp.ones(len(src), bool)
+    table = br.build_voxel_table(jnp.asarray(world), mask, resolution=2.0)
+    res = br.ndt_register(jnp.asarray(src), mask, table,
+                          jnp.eye(4, dtype=jnp.float32), max_iter=40,
+                          direct7=True, step_control=True)
+    _check(np.asarray(res.transform), T_true, tol_t=0.15, tol_r_deg=1.0)
+
+
+def test_ndt_step_control_no_regression_fine_voxels(rng):
+    """Step control must not hurt the fine-voxel case the round-1 test
+    already covers."""
+    world = _world(rng)
+    T_true = _true_T()
+    src = ((world - T_true[:3, 3]) @ T_true[:3, :3]).astype(np.float32)
+    mask = jnp.ones(len(src), bool)
+    table = br.build_voxel_table(jnp.asarray(world), mask, resolution=1.0)
+    res = br.ndt_register(jnp.asarray(src), mask, table,
+                          jnp.eye(4, dtype=jnp.float32), max_iter=40,
+                          direct7=True, step_control=True)
+    _check(np.asarray(res.transform), T_true)
