@@ -127,7 +127,12 @@ def main():
         cfg2 = dataclasses.replace(cfg, submap=dataclasses.replace(
             cfg.submap, loop_closure_detection_on=True,
             submap_accu_tran=1e9, submap_accu_rot=1e9,
-            submap_accu_frame=32))
+            submap_accu_frame=32,
+            # the playlist re-drives an 11 m stretch, so neighboring
+            # submap ids ARE the revisits — the default id gap (8, sized
+            # for km-scale loops) would reject every candidate and the
+            # "loop closure ON" label would be hollow
+            min_submap_id_diff=3))
 
         class _Playlist:
             """Maps a 256-frame back-and-forth drive onto the demo files;

@@ -201,21 +201,21 @@ def ndt_register(s_xyz: jnp.ndarray, s_mask: jnp.ndarray, table: VoxelTable,
         H = H + 1e-3 * jnp.eye(6)
         delta = jnp.linalg.solve(H, -g)
         if step_control:
-            s_cur, _ = _ndt_score(p_t, s_mask, table, table_size, offs)
+            # halving-only: the Gaussian-mixture score is flat far from
+            # alignment, so a zero-step candidate could stall a cold start
+            # the Newton direction would have fixed — always move, halve
+            # when the full step regresses the score
             cands = [jnp.float32(1.0), jnp.float32(0.5), jnp.float32(0.25)]
-            scores = [s_cur]
+            scores = []
             for a in cands:
                 p_a = se3.transform_points(se3.se3_boxplus(T, a * delta),
                                            s_xyz)
                 scores.append(_ndt_score(p_a, s_mask, table, table_size,
                                          offs)[0])
-            alphas = jnp.stack([jnp.float32(0.0)] + cands)
-            best = jnp.argmin(jnp.stack(scores))
-            alpha = alphas[best]
-            # a fully-rejected step must still shrink delta_norm so the
-            # while_loop terminates instead of re-proposing forever
+            alphas = jnp.stack(cands)
+            alpha = alphas[jnp.argmin(jnp.stack(scores))]
             T_new = se3.se3_boxplus(T, alpha * delta)
-            dn = jnp.linalg.norm(delta) * jnp.maximum(alpha, 1e-3)
+            dn = jnp.linalg.norm(delta) * alpha
         else:
             T_new = se3.se3_boxplus(T, delta)
             dn = jnp.linalg.norm(delta)

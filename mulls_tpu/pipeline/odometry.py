@@ -433,19 +433,28 @@ def staged_step_fns(cfg: MullsConfig):
     return step
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def slam_scan(state: SlamState, raws: PackedRawCloud, cfg: MullsConfig):
-    """Process a segment of K stacked packed frames in ONE device program
-    (`lax.scan` over the frame axis).  Amortizes per-dispatch link latency
-    K-fold versus per-frame dispatch and gives XLA a whole segment to
-    schedule; returns the carried state and the packed [K, 16] result
-    vectors."""
-
+def _slam_scan_impl(state: SlamState, raws: PackedRawCloud,
+                    cfg: MullsConfig):
     def body(st, raw):
         st, out = _slam_step_impl(st, raw, cfg)
         return st, out.vec
 
     return jax.lax.scan(body, state, raws)
+
+
+slam_scan = partial(jax.jit, static_argnames=("cfg",),
+                    donate_argnums=(0,))(_slam_scan_impl)
+slam_scan.__doc__ = """Process a segment of K stacked packed frames in ONE
+device program (`lax.scan` over the frame axis).  Amortizes per-dispatch
+link latency K-fold versus per-frame dispatch and gives XLA a whole
+segment to schedule; returns the carried state and the packed [K, 16]
+result vectors."""
+
+# non-donating variant for pipelined consumers that must keep a previous
+# segment's state (e.g. SlamPipeline's lookahead holds the boundary local
+# map for submap cloning while the next segment is already in flight);
+# the extra live state is a few MB of feature tensors
+slam_scan_keep = partial(jax.jit, static_argnames=("cfg",))(_slam_scan_impl)
 
 
 @dataclass

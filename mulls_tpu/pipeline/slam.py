@@ -105,40 +105,24 @@ class SlamPipeline:
                 print(f"[mulls_tpu] resumed at frame {i} "
                       f"({len(backend.submaps)} submaps)")
 
-        while i < n:
-            seg_end = min(i + self.segment, n)
+        def _process(entry):
+            """Host bookkeeping + back-end for ONE completed segment
+            (fetch of its packed vecs happens here — one lookahead behind
+            the dispatches so the D2H wait overlaps the next segment's
+            device compute; there is no host->device feedback, corrections
+            live on the host pose array)."""
+            nonlocal cur_pose, cur_pose_odom, submap_open_begin
+            i0, k_real, vecs_dev, lmap = entry
+            seg_end = i0 + k_real
             t0 = time.perf_counter()
-            if staged is not None:
-                step, _timer = staged
-                vec_rows = []
-                for k in range(i, seg_end):
-                    raw = jax.device_put(pack_raw_host(dataset[k]))
-                    state, out = step(state, raw, _timer)
-                    vec_rows.append(np.asarray(out.vec))
-                    timings[k, 0] = spans.get("feature", 0.0)
-                    timings[k, 1] = spans.get("map", 0.0)
-                    timings[k, 2] = spans.get("reg", 0.0)
-                k_real = seg_end - i
-                vecs_np = np.stack(vec_rows)
-            else:
-                packed = [pack_raw_host(dataset[k])
-                          for k in range(i, seg_end)]
-                k_real = len(packed)
-                # pad the tail so every dispatch keeps the same [segment]
-                # shape
-                packed = packed + [packed[-1]] * (self.segment - k_real)
-                batch = jax.device_put(_stack_packed(packed))
-                # the whole segment is ONE device program; one D2H for its
-                # packed outputs
-                state, vecs = slam_scan(state, batch, cfg)
-                vecs_np = np.asarray(vecs[:k_real])
-                t1 = time.perf_counter()
-                timings[i:seg_end, 2] = (t1 - t0) * 1e3 / (seg_end - i)
+            vecs_np = np.asarray(vecs_dev[:k_real])  # true completion wait
+            timings[i0:seg_end, 2] = (time.perf_counter() - t0) * 1e3 \
+                / k_real
             T_rels, seg_sigma, seg_codes, seg_conf, _ = StepOut.unpack_vecs(
                 vecs_np)
 
-            for k in range(i, seg_end):
-                T = T_rels[k - i]
+            for k in range(i0, seg_end):
+                T = T_rels[k - i0]
                 u, _, vt = np.linalg.svd(T[:3, :3])
                 T[:3, :3] = u @ vt
                 if k > 0:
@@ -146,16 +130,16 @@ class SlamPipeline:
                     cur_pose_odom = cur_pose_odom @ T
                 poses[k] = cur_pose
                 poses_odom[k] = cur_pose_odom
-                codes.append(int(seg_codes[k - i]))
-                sigmas.append(float(seg_sigma[k - i]))
+                codes.append(int(seg_codes[k - i0]))
+                sigmas.append(float(seg_sigma[k - i0]))
                 if k > 0:
-                    backend.accumulate(T, confidence=seg_conf[k - i])
+                    backend.accumulate(T, confidence=seg_conf[k - i0])
 
             # back-end at segment boundary (`mulls_slam.cpp:451-628`)
             tb0 = time.perf_counter()
             if backend.should_segment():
                 last = seg_end - 1
-                sm = backend.add_submap(state.local_map, poses[last],
+                sm = backend.add_submap(lmap, poses[last],
                                         submap_open_begin, last)
                 frame_submap[submap_open_begin:seg_end] = sm.sid
                 submap_open_begin = seg_end
@@ -187,20 +171,72 @@ class SlamPipeline:
                     if not np.allclose(ref_pose, poses[last]):
                         cur_pose = ref_pose
                         poses[last] = ref_pose
-            timings[i:seg_end, 3] = (time.perf_counter() - tb0) * 1e3 \
-                / (seg_end - i)
-
+            timings[i0:seg_end, 3] = (time.perf_counter() - tb0) * 1e3 \
+                / k_real
             if progress:
                 print(f"[{seg_end}/{n}] submaps={len(backend.submaps)} "
                       f"edges={len(backend.edges)} "
                       f"sigma={sigmas[-1]:.4f}", flush=True)
-            i = seg_end
-            seg_count += 1
-            if self.checkpoint_path and \
-                    seg_count % self.checkpoint_every == 0:
-                from mulls_tpu.pipeline.checkpoint import save_checkpoint
-                save_checkpoint(self.checkpoint_path, state, i, poses,
-                                poses_odom, codes, sigmas, backend)
+
+        if staged is not None:
+            while i < n:
+                seg_end = min(i + self.segment, n)
+                step, _timer = staged
+                vec_rows = []
+                for k in range(i, seg_end):
+                    raw = jax.device_put(pack_raw_host(dataset[k]))
+                    state, out = step(state, raw, _timer)
+                    vec_rows.append(np.asarray(out.vec))
+                    timings[k, 0] = spans.get("feature", 0.0)
+                    timings[k, 1] = spans.get("map", 0.0)
+                    timings[k, 2] = spans.get("reg", 0.0)
+                k_real = seg_end - i
+                reg_spans = timings[i:seg_end, 2].copy()
+                _process((i, k_real, jnp.stack(vec_rows), state.local_map))
+                # _process measures its own fetch wait into col 2; the
+                # staged per-frame reg spans are the honest values
+                timings[i:seg_end, 2] = reg_spans
+                i = seg_end
+                seg_count += 1
+        else:
+            from collections import deque
+            from mulls_tpu.pipeline.odometry import (prefetch_segments,
+                                                     slam_scan_keep)
+
+            class _View:
+                """Dataset slice view for resume offsets."""
+
+                def __init__(self, ds, start):
+                    self.ds, self.start = ds, start
+
+                def __len__(self):
+                    return len(self.ds) - self.start
+
+                def __getitem__(self, k):
+                    return self.ds[self.start + k]
+
+            ship_ts = cfg.map.motion_compensation_method == 1
+            pending: deque = deque()
+            for k, batch in prefetch_segments(_View(dataset, i),
+                                              self.segment,
+                                              with_ts=ship_ts):
+                # non-donating scan: the pending entry keeps the boundary
+                # local map alive while the next segment runs
+                state, vecs = slam_scan_keep(state, batch, cfg)
+                pending.append((i, k, vecs, state.local_map))
+                i += k
+                if len(pending) > 1:
+                    _process(pending.popleft())
+                seg_count += 1
+                if self.checkpoint_path and \
+                        seg_count % self.checkpoint_every == 0:
+                    while pending:  # drain: checkpoint state must match i
+                        _process(pending.popleft())
+                    from mulls_tpu.pipeline.checkpoint import save_checkpoint
+                    save_checkpoint(self.checkpoint_path, state, i, poses,
+                                    poses_odom, codes, sigmas, backend)
+            while pending:
+                _process(pending.popleft())
 
         if self.checkpoint_path:
             # final checkpoint: the completed session is the input artifact
