@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_feature_dir", default="feature_out")
     p.add_argument("--checkpoint_path", default=None,
                    help="checkpoint file for save/resume (SLAM mode)")
+    p.add_argument("--map_snapshot_dir", default=None,
+                   help="write a WebGL+BEV snapshot of the live map / "
+                        "trajectory / pose graph here every N submaps "
+                        "(during-run observability for long headless "
+                        "runs; the reference's live MapViewer role)")
+    p.add_argument("--map_snapshot_every_submaps", type=int, default=4)
     return p
 
 
@@ -197,7 +203,9 @@ def main(argv=None) -> int:
         pipe = BaselinePipeline(cfg)
         res = pipe.run(ds, progress=args.progress)
     elif cfg.submap.loop_closure_detection_on:
-        pipe = SlamPipeline(cfg, checkpoint_path=args.checkpoint_path)
+        pipe = SlamPipeline(cfg, checkpoint_path=args.checkpoint_path,
+                            snapshot_dir=args.map_snapshot_dir,
+                            snapshot_every=args.map_snapshot_every_submaps)
         res = pipe.run(ds, progress=args.progress,
                        stage_timing=args.timing_report_file is not None)
         backend = getattr(res, "backend", None)

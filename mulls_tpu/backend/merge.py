@@ -335,26 +335,5 @@ def merged_feature_map(result: MergeResult, max_points_per_submap: int = 0
     """Concatenate all submaps' feature clouds in the anchor frame.
     Returns (xyz [N,3], class_id [N] uint8, intensity [N]) for map export
     / the WebGL viewer (class ids follow `viz/html_viewer.CLASS_NAMES`)."""
-    from mulls_tpu.viz.html_viewer import CLASS_NAMES
-    cid_of = {n: i for i, n in enumerate(CLASS_NAMES)}
-    xyz_all, cid_all, int_all = [], [], []
-    for sm in result.submaps:
-        R, t = sm.pose[:3, :3], sm.pose[:3, 3]
-        for name, cloud in sm.clouds.items():
-            m = np.asarray(cloud.mask)
-            if not m.any():
-                continue
-            p = np.asarray(cloud.xyz)[m]
-            inten = np.asarray(cloud.intensity)[m]
-            if 0 < max_points_per_submap < len(p):
-                keep = np.random.default_rng(sm.sid).choice(
-                    len(p), max_points_per_submap, replace=False)
-                p, inten = p[keep], inten[keep]
-            xyz_all.append(p @ R.T + t)
-            cid_all.append(np.full(len(p), cid_of.get(name, 0), np.uint8))
-            int_all.append(inten)
-    if not xyz_all:
-        return (np.zeros((0, 3), np.float32), np.zeros(0, np.uint8),
-                np.zeros(0, np.float32))
-    return (np.concatenate(xyz_all).astype(np.float32),
-            np.concatenate(cid_all), np.concatenate(int_all))
+    from mulls_tpu.viz.html_viewer import feature_map_points
+    return feature_map_points(result.submaps, max_points_per_submap)

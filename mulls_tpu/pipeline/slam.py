@@ -31,11 +31,18 @@ from mulls_tpu.pipeline.odometry import (OdometryResult, RawCloud, SlamState,
 class SlamPipeline:
     def __init__(self, cfg: MullsConfig, segment: int = 8,
                  checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 8):
+                 checkpoint_every: int = 8,
+                 snapshot_dir: Optional[str] = None,
+                 snapshot_every: int = 4):
         self.cfg = cfg
         self.segment = segment
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every  # in segments
+        # during-run observability (the reference's live MapViewer role):
+        # every `snapshot_every` submaps a WebGL + BEV artifact of the
+        # current map/trajectory/edges is written on a background thread
+        self.snapshot_dir = snapshot_dir
+        self.snapshot_every = snapshot_every
         self._key = jax.random.key(cfg.seed + 1)
 
     def _next_key(self):
@@ -171,6 +178,25 @@ class SlamPipeline:
                     if not np.allclose(ref_pose, poses[last]):
                         cur_pose = ref_pose
                         poses[last] = ref_pose
+                if (self.snapshot_dir
+                        and sm.sid % max(self.snapshot_every, 1) == 0):
+                    import os
+                    import threading
+                    from mulls_tpu.viz.html_viewer import write_run_snapshot
+                    os.makedirs(self.snapshot_dir, exist_ok=True)
+                    base = os.path.join(self.snapshot_dir,
+                                        f"snapshot_{sm.sid:04d}")
+                    subs = list(backend.submaps)
+                    # viewer edges index into the trajectory: map submap
+                    # ids to their last frame
+                    fe = {s.sid: s.frame_end for s in subs}
+                    eds = [(fe[e.i], fe[e.j], e.kind)
+                           for e in backend.edges
+                           if e.i in fe and e.j in fe]
+                    traj = poses[:seg_end, :3, 3].copy()
+                    threading.Thread(
+                        target=write_run_snapshot,
+                        args=(base, subs, traj, eds), daemon=True).start()
             timings[i0:seg_end, 3] = (time.perf_counter() - tb0) * 1e3 \
                 / k_real
             if progress:

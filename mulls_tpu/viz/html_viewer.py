@@ -288,3 +288,58 @@ function draw(){
 draw();
 </script></body></html>
 """
+
+
+def feature_map_points(submaps, max_points_per_submap: int = 0):
+    """Concatenate submaps' feature clouds in the world frame.
+    Returns (xyz [N,3], class_id [N] uint8, intensity [N]) with class ids
+    following CLASS_NAMES — shared by map export, the merge CLI and the
+    during-run snapshot stream."""
+    cid_of = {n: i for i, n in enumerate(CLASS_NAMES)}
+    xyz_all, cid_all, int_all = [], [], []
+    for sm in submaps:
+        R, t = sm.pose[:3, :3], sm.pose[:3, 3]
+        for name, cloud in sm.clouds.items():
+            m = np.asarray(cloud.mask)
+            if not m.any():
+                continue
+            p = np.asarray(cloud.xyz)[m]
+            inten = np.asarray(cloud.intensity)[m]
+            if 0 < max_points_per_submap < len(p):
+                keep = np.random.default_rng(sm.sid).choice(
+                    len(p), max_points_per_submap, replace=False)
+                p, inten = p[keep], inten[keep]
+            xyz_all.append(p @ R.T + t)
+            cid_all.append(np.full(len(p), cid_of.get(name, 0), np.uint8))
+            int_all.append(inten)
+    if not xyz_all:
+        return (np.zeros((0, 3), np.float32), np.zeros(0, np.uint8),
+                np.zeros(0, np.float32))
+    return (np.concatenate(xyz_all).astype(np.float32),
+            np.concatenate(cid_all), np.concatenate(int_all))
+
+
+def write_run_snapshot(path_base: str, submaps, trajectory=None,
+                       edges=None) -> None:
+    """During-run observability artifact (the reference's live MapViewer
+    role, `map_viewer.h:172-224`, re-designed for headless pod runs):
+    writes <base>.html (WebGL feature map + trajectory + pose-graph edges)
+    and <base>_bev.png.  Meant to be called from a background thread every
+    few submaps so long runs stream inspectable state."""
+    xyz, cid, inten = feature_map_points(submaps, max_points_per_submap=4000)
+    export_html_viewer(path_base + ".html", xyz, class_id=cid,
+                       intensity=inten, trajectory=trajectory, edges=edges,
+                       title=f"run snapshot @ {len(submaps)} submaps")
+    try:
+        from mulls_tpu.mapping.assembly import bev_image
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        img = bev_image(xyz)
+        fig, ax = plt.subplots(figsize=(7, 7))
+        ax.imshow(img, origin="lower", cmap="viridis")
+        ax.set_title(f"BEV @ {len(submaps)} submaps")
+        fig.savefig(path_base + "_bev.png", dpi=110)
+        plt.close(fig)
+    except Exception:
+        pass  # BEV raster is best-effort; the HTML is the artifact

@@ -90,7 +90,7 @@ class _ListDataset(list):
     pass
 
 
-def test_slam_loop_closure_synthetic(rng):
+def test_slam_loop_closure_synthetic(rng, tmp_path):
     """Drive a circular trajectory through a synthetic world: the back-end
     must segment submaps, add adjacent edges, find a loop edge when the
     trajectory returns, and keep the trajectory consistent."""
@@ -120,7 +120,9 @@ def test_slam_loop_closure_synthetic(rng):
     frames = _ListDataset(
         _simulate_scan(world, g, cfg.shapes.n_raw, 35.0, rng) for g in gt)
 
-    pipe = SlamPipeline(cfg, segment=2)
+    snap_dir = str(tmp_path / "snaps")
+    pipe = SlamPipeline(cfg, segment=2, snapshot_dir=snap_dir,
+                        snapshot_every=2)
     res = pipe.run(frames)
     # our trajectory is expressed in frame-0 coordinates: align gt
     gt = np.stack(gt)
@@ -135,6 +137,16 @@ def test_slam_loop_closure_synthetic(rng):
     # trajectory stays near ground truth (clean synthetic world)
     err = np.linalg.norm(res.poses[:, :3, 3] - gt[:, :3, 3], axis=1)
     assert err.max() < 1.0, err
+    # during-run snapshots were streamed (written on a daemon thread)
+    import glob
+    import time as _time
+    for _ in range(50):  # the writer thread may still be flushing
+        snaps = glob.glob(os.path.join(snap_dir, "snapshot_*.html"))
+        if snaps:
+            break
+        _time.sleep(0.2)
+    assert snaps, "no during-run snapshot artifacts written"
+    assert os.path.getsize(snaps[0]) > 10_000
 
 
 @pytest.mark.parametrize("method", ["ndt", "gicp"])

@@ -92,6 +92,121 @@ def build_world(rng, half: float = 120.0) -> np.ndarray:
     return np.concatenate(pts).astype(np.float32)
 
 
+def build_world_highway(rng, length: float = 1100.0) -> np.ndarray:
+    """Structurally different from the urban block: a sparse open highway
+    along +x — road surface, guardrails (beam features), posts/signs at
+    irregular spacing, embankment slopes, sparse roadside clutter.  No
+    facades, no closed loop; the feature diet is ground+beam+pillar-heavy,
+    matching the `lo_gflag_list_kitti_highway.txt` operating point's
+    intent (sparse geometry at speed)."""
+    pts = []
+    n_r = 700_000
+    # crowned road surface, 13 m wide
+    y = rng.uniform(-6.5, 6.5, n_r)
+    pts.append(np.stack([
+        rng.uniform(-20, length, n_r), y,
+        -1.73 - 0.01 * np.abs(y) + 0.03 * rng.normal(size=n_r)], -1))
+    # embankment slopes falling off both sides
+    n_e = 250_000
+    side = rng.choice([-1.0, 1.0], n_e)
+    off = rng.uniform(6.5, 20.0, n_e)
+    pts.append(np.stack([
+        rng.uniform(-20, length, n_e), side * off,
+        -1.73 - 0.18 * (off - 6.5) + 0.05 * rng.normal(size=n_e)], -1))
+    # guardrails: two horizontal rails at z=-1.0/-0.55, both shoulders
+    for lane in (-7.2, 7.2):
+        for z0 in (-1.0, -0.55):
+            n_gr = 60_000
+            pts.append(np.stack([
+                rng.uniform(-20, length, n_gr),
+                np.full(n_gr, lane) + 0.02 * rng.normal(size=n_gr),
+                np.full(n_gr, z0) + 0.02 * rng.normal(size=n_gr)], -1))
+    # delineator posts + overhead sign gantries at irregular spacing
+    x = 0.0
+    while x < length:
+        x += rng.uniform(18.0, 45.0)
+        for lane in (-7.4, 7.4):
+            per = 60
+            pts.append(np.stack([
+                np.full(per, x) + 0.01 * rng.normal(size=per),
+                np.full(per, lane) + 0.01 * rng.normal(size=per),
+                np.linspace(-1.7, 0.6, per)], -1))
+    x = 0.0
+    while x < length:
+        x += rng.uniform(120.0, 260.0)
+        # gantry: two 6 m pillars + a crossbeam + a sign panel
+        for lane in (-8.0, 8.0):
+            per = 140
+            pts.append(np.stack([
+                np.full(per, x) + 0.02 * rng.normal(size=per),
+                np.full(per, lane) + 0.02 * rng.normal(size=per),
+                np.linspace(-1.7, 5.0, per)], -1))
+        n_b = 300
+        pts.append(np.stack([
+            np.full(n_b, x) + 0.02 * rng.normal(size=n_b),
+            rng.uniform(-8, 8, n_b), np.full(n_b, 5.0)
+            + 0.03 * rng.normal(size=n_b)], -1))
+        n_s = 500
+        pts.append(np.stack([
+            np.full(n_s, x) + 0.03 * rng.normal(size=n_s),
+            rng.uniform(-4, 4, n_s), rng.uniform(3.2, 5.0, n_s)], -1))
+    # sparse roadside bushes/trees
+    for _ in range(int(length / 12)):
+        cx = rng.uniform(0, length)
+        cy = rng.choice([-1.0, 1.0]) * rng.uniform(10.0, 25.0)
+        n_t = 250
+        pts.append(np.stack([
+            cx + 0.8 * rng.normal(size=n_t), cy + 0.8 * rng.normal(size=n_t),
+            rng.uniform(-1.6, rng.uniform(0.5, 4.0), n_t)], -1))
+    return np.concatenate(pts).astype(np.float32)
+
+
+def highway_trajectory(n_frames: int, step: float = 2.2):
+    """Straight-ish drive at ~80 km/h (2.2 m / 100 ms frame) with gentle
+    lane drift — no loop closure opportunities by construction."""
+    poses = []
+    for k in range(n_frames):
+        x = k * step
+        y = 1.8 * np.sin(2 * np.pi * x / 400.0)
+        yaw = np.arctan2(1.8 * 2 * np.pi / 400.0
+                         * np.cos(2 * np.pi * x / 400.0), 1.0)
+        T = np.eye(4)
+        c, si = np.cos(yaw), np.sin(yaw)
+        T[:3, :3] = [[c, -si, 0], [si, c, 0], [0, 0, 1]]
+        T[:3, 3] = [x, y, 0.0]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def dynamic_traffic(rng, n_frames: int, lanes=(-2.0, 2.0)):
+    """Per-frame moving objects for the urban loop: car-sized point boxes
+    driving the street lanes at 0.6-1.4 m/frame — exercises map-based
+    dynamic removal under real (moving) outliers instead of static
+    clutter.  Returns a list of [n_dyn, 3] arrays, one per frame."""
+    cars = []
+    for _ in range(14):
+        axis = rng.integers(0, 2)  # 0: along x, 1: along y
+        lane_c = rng.choice([-30.0, 30.0]) + rng.choice(lanes)
+        pos0 = rng.uniform(-110.0, 110.0)
+        vel = rng.choice([-1.0, 1.0]) * rng.uniform(0.6, 1.4)
+        cars.append((axis, lane_c, pos0, vel))
+    per = 420
+    out = []
+    for k in range(n_frames):
+        frames_pts = []
+        for axis, lane_c, pos0, vel in cars:
+            p = -110.0 + (pos0 + 110.0 + vel * k) % 220.0
+            body = np.stack([
+                p + rng.uniform(-2.2, 2.2, per),
+                lane_c + rng.uniform(-0.9, 0.9, per),
+                rng.uniform(-1.7, -0.3, per)], -1)
+            if axis == 1:
+                body = body[:, [1, 0, 2]]
+            frames_pts.append(body)
+        out.append(np.concatenate(frames_pts).astype(np.float32))
+    return out
+
+
 def loop_trajectory(n_frames: int, step: float = 0.8):
     """Rounded-rectangle loop in the street lanes around the center block:
     straight segments + quarter-circle corner arcs (r = 8 m, ~9 deg/frame
@@ -179,6 +294,17 @@ def main():
     ap.add_argument("--events", action="store_true",
                     help="print the back-end decision log")
     ap.add_argument("--skip_odometry", action="store_true")
+    ap.add_argument("--skip_slam", action="store_true",
+                    help="odometry only (e.g. loop-free highway profile)")
+    ap.add_argument("--world", default="urban",
+                    choices=["urban", "highway", "dynamic"],
+                    help="world generator: urban block loop (default), "
+                         "sparse open highway (no loop), or the urban "
+                         "loop with moving traffic (dynamic removal "
+                         "under real movers)")
+    ap.add_argument("--seed", type=int, default=7,
+                    help="world/noise seed — accuracy must hold across "
+                         "seeds untouched by tuning (docs/ACCURACY.md)")
     ap.add_argument("--fog", action="store_true",
                     help="degrade frames 25%%-40%% of the run to 20 m "
                          "sensor range (fog bank): odometry drifts there, "
@@ -199,20 +325,28 @@ def main():
            if args.config and os.path.exists(args.config)
            else MullsConfig())
 
-    rng = np.random.default_rng(7)
-    print("[synthbench] building world ...", flush=True)
-    world = build_world(rng)
-    gt = loop_trajectory(args.frames)
-    gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)  # frame-0 coords
+    rng = np.random.default_rng(args.seed)
+    print(f"[synthbench] building {args.world} world (seed {args.seed}) "
+          "...", flush=True)
+    if args.world == "highway":
+        world = build_world_highway(rng)
+        world_g = highway_trajectory(args.frames)
+    else:
+        world = build_world(rng)
+        world_g = loop_trajectory(args.frames)
+    gt = np.einsum("ij,njk->nik", np.linalg.inv(world_g[0]), world_g)
 
     print(f"[synthbench] simulating {args.frames} scans "
           f"({len(world):,} world pts) ...", flush=True)
     t0 = time.time()
-    world_g = loop_trajectory(args.frames)  # sensor poses in world coords
     fog_lo, fog_hi = (int(0.25 * args.frames), int(0.40 * args.frames)) \
         if args.fog else (0, 0)
+    dyn = (dynamic_traffic(rng, args.frames)
+           if args.world == "dynamic" else None)
     frames = _List(
-        simulate(world, world_g[k], cfg.shapes.n_raw, rng,
+        simulate(np.concatenate([world, dyn[k]]) if dyn is not None
+                 else world,
+                 world_g[k], cfg.shapes.n_raw, rng,
                  sensor_range=(20.0 if fog_lo <= k < fog_hi else 65.0))
         for k in range(args.frames))
     if args.fog:
@@ -220,7 +354,7 @@ def main():
               flush=True)
     print(f"[synthbench] simulated in {time.time() - t0:.1f}s", flush=True)
 
-    out = {"frames": args.frames,
+    out = {"frames": args.frames, "world": args.world, "seed": args.seed,
            "fog": [fog_lo, fog_hi] if args.fog else None,
            "loop_length_m": float(np.sum(np.linalg.norm(
                np.diff(gt[:, :3, 3], axis=0), axis=1)))}
@@ -258,6 +392,13 @@ def main():
         assert len(outside) <= (5 if args.fog else 3), \
             f"too many failures: {outside}"
         evaluate("odometry", res_odo.poses)
+
+    if args.skip_slam:
+        print(json.dumps(out))
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(out, f, indent=2)
+        return
 
     cfg_slam = cfg.replace(submap=dataclasses.replace(
         cfg.submap, loop_closure_detection_on=True))
