@@ -21,6 +21,22 @@ import numpy as np
 
 
 def main():
+    # GLOBAL watchdog: any D2H on this tunneled backend can wedge for tens
+    # of minutes (including the warm-up fetch, which no per-phase deadline
+    # covers) — this script must ALWAYS print its one JSON line
+    import threading as _th
+    _done = _th.Event()
+
+    def _watchdog():
+        if not _done.wait(timeout=1980.0):
+            print(json.dumps({
+                "metric": "frontend_odometry_fps", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "warn": "global deadline hit (wedged tunnel)"}), flush=True)
+            os._exit(0)
+
+    _th.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     from mulls_tpu.config import load_flagfile, MullsConfig
     from mulls_tpu.io.dataset import FolderDataset, pad_cloud
@@ -175,6 +191,7 @@ def main():
         else:
             out["slam_e2e_warn"] = "deadline hit (wedged tunnel)"
 
+    _done.set()
     print(json.dumps(out), flush=True)
     if th.is_alive() or ("fps" not in e2e and os.path.isdir(demo)):
         os._exit(0)  # a wedged fetch thread would hang teardown
