@@ -251,6 +251,113 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 20,
     return t, q, jnp.sum(rW * rW)
 
 
+@partial(jax.jit, static_argnames=("iterations", "cg_iters",
+                                   "robust_kernel"))
+def optimize_pose_graph_cg(graph: PoseGraph, iterations: int = 15,
+                           cg_iters: int = 80, lm_lambda: float = 1e-4,
+                           robust_kernel: bool = False,
+                           huber_delta: float = 1.0):
+    """Frame-scale PGO: matrix-free Gauss-Newton/LM.
+
+    The dense path materializes the (6M)^2 Hessian — fine for hundreds of
+    submap nodes, impossible for the reference's option-A framewise pass
+    over ALL frames (`mulls_slam.cpp:835-875`; KITTI-00 is 4541 frames ->
+    27k^2 f32 ~ 3 GB + O(n^3)).  Here each LM step solves the normal
+    equations by preconditioned conjugate gradients whose operator is
+    applied EDGE-LOCALLY (gather ends, two 6x6 matvecs, scatter-add) —
+    O(E) memory and work per CG iteration, block-Jacobi preconditioner
+    from the per-node diagonal blocks.  Same cost-gated adaptive damping
+    and bound clamping as the dense solver.  Returns (node_t, node_q,
+    final_chi2)."""
+    m = graph.num_nodes
+    sqrt_info = _sqrt_psd(graph.edge_info)
+    ii, jj = graph.edge_i, graph.edge_j
+    free = (~graph.fixed).astype(jnp.float32)[:, None]  # [M,1]
+
+    def residuals(node_t, node_q):
+        return jax.vmap(_edge_res_and_jac)(
+            node_t[ii], node_q[ii], node_t[jj], node_q[jj],
+            graph.edge_t, graph.edge_q)
+
+    def cost_at(node_t, node_q):
+        r = jax.vmap(lambda ta, qa, tb, qb, tm, qm: _edge_residual(
+            _zero6, _zero6, _zero6, _zero6, ta, qa, tb, qb, tm, qm))(
+            node_t[ii], node_q[ii], node_t[jj], node_q[jj],
+            graph.edge_t, graph.edge_q)
+        return _huber_cost(r, sqrt_info, graph.edge_mask, robust_kernel,
+                           huber_delta)
+
+    def step(state, _):
+        node_t, node_q, lam, best_cost = state
+        r, Ja, Jb = residuals(node_t, node_q)
+        w_edge = graph.edge_mask.astype(jnp.float32)
+        if robust_kernel:
+            rw = jnp.einsum("eij,ej->ei", sqrt_info, r)
+            rn = jnp.linalg.norm(rw, axis=-1)
+            w_edge = w_edge * jnp.sqrt(jnp.where(
+                rn > huber_delta, huber_delta / jnp.maximum(rn, 1e-9), 1.0))
+        rW = jnp.einsum("eij,ej->ei", sqrt_info, r) * w_edge[:, None]
+        JaW = sqrt_info @ Ja * w_edge[:, None, None]
+        JbW = sqrt_info @ Jb * w_edge[:, None, None]
+
+        g = jnp.zeros((m, 6), jnp.float32)
+        g = g.at[ii].add(jnp.einsum("eki,ek->ei", JaW, rW))
+        g = g.at[jj].add(jnp.einsum("eki,ek->ei", JbW, rW))
+        g = g * free  # fixed nodes: zero gradient (projected system)
+
+        # block-Jacobi preconditioner from the per-node diagonal blocks
+        eye6 = jnp.eye(6, dtype=jnp.float32)
+        D = jnp.zeros((m, 6, 6), jnp.float32)
+        D = D.at[ii].add(jnp.einsum("eki,ekj->eij", JaW, JaW))
+        D = D.at[jj].add(jnp.einsum("eki,ekj->eij", JbW, JbW))
+        D = D + (lam + 1e-6) * eye6
+        Dinv = jnp.linalg.inv(D)
+
+        def Hv(v):  # [M, 6] -> [M, 6], projected so fixed nodes stay put
+            vp = v * free
+            ua = (jnp.einsum("ekj,ej->ek", JaW, vp[ii])
+                  + jnp.einsum("ekj,ej->ek", JbW, vp[jj]))  # [E, 6] rows
+            out = jnp.zeros((m, 6), jnp.float32)
+            out = out.at[ii].add(jnp.einsum("eki,ek->ei", JaW, ua))
+            out = out.at[jj].add(jnp.einsum("eki,ek->ei", JbW, ua))
+            out = (out + lam * vp) * free + v * (1.0 - free)
+            return out
+
+        def Mv(v):
+            return jnp.einsum("mij,mj->mi", Dinv, v) * free \
+                + v * (1.0 - free)
+
+        delta, _ = jax.scipy.sparse.linalg.cg(Hv, -g, M=Mv,
+                                              maxiter=cg_iters, tol=1e-6)
+        delta = delta * free
+
+        dq = jnp.concatenate([jnp.ones((m, 1), jnp.float32),
+                              0.5 * delta[:, 3:6]], axis=1)
+        q_new = se3.quat_mul(dq, node_q)
+        q_new = q_new / jnp.linalg.norm(q_new, axis=-1, keepdims=True)
+        t_new = node_t + delta[:, :3]
+        t_new, q_new = _clamp_to_bounds(t_new, q_new, graph.node_t,
+                                        graph.node_q, graph.t_limit,
+                                        graph.r_limit)
+        new_cost = cost_at(t_new, q_new)
+        accept = new_cost < best_cost
+        t_next = jnp.where(accept, t_new, node_t)
+        q_next = jnp.where(accept, q_new, node_q)
+        lam_next = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7),
+                             jnp.minimum(lam * 5.0, 1e3))
+        cost_next = jnp.where(accept, new_cost, best_cost)
+        return (t_next, q_next, lam_next, cost_next), cost_next
+
+    init_cost = cost_at(graph.node_t, graph.node_q)
+    (t, q, _, _), _ = jax.lax.scan(
+        step, (graph.node_t, graph.node_q, jnp.float32(lm_lambda),
+               init_cost), None, length=iterations)
+    r, _, _ = residuals(t, q)
+    rW = jnp.einsum("eij,ej->ei", sqrt_info, r) \
+        * graph.edge_mask.astype(jnp.float32)[:, None]
+    return t, q, jnp.sum(rW * rW)
+
+
 def wrong_edge_check(graph: PoseGraph, node_t, node_q,
                      tran_thre: float, rot_thre_deg: float):
     """Post-solve wrong-edge detection (`graph_optimizer.cpp:713-754`):
