@@ -1,52 +1,96 @@
-"""Benchmark: front-end odometry throughput on the bundled 16-scan KITTI
-demo (feature extraction + scan-to-map MULLS-ICP + local-map update per
-frame, the reference's hot path — SURVEY.md §3.1).
+"""Benchmark suite: front-end odometry throughput + end-to-end SLAM
+(front-end + submap back-end with loop closure + PGO + refine) on the
+tunneled TPU.  Baseline: the reference runs real-time at the 10 Hz KITTI
+scan rate on a desktop CPU (BASELINE.md), so vs_baseline = fps / 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference runs real-time at the 10 Hz KITTI scan rate on a
-desktop CPU (BASELINE.md), so vs_baseline = frames_per_second / 10.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Hardening contract (round-3, after BENCH_r02 died with rc=1 and zero
+output when the chip threw FailedPrecondition at the warm-up fetch):
+- every phase runs in its own try/except AND its own deadline thread;
+- a failed/overtime phase records a warn field and the later phases still
+  run; the warm-up retries once after a backend error;
+- the global watchdog prints the BEST-SO-FAR result dict (never a bare
+  0.0) and hard-exits, and its deadline exceeds the sum of the per-phase
+  budgets so a slow-but-healthy run is never truncated mid-phase.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+import traceback
 
 import numpy as np
 
-# remote-TPU compiles persist across bench runs via the per-uid
-# compilation cache mulls_tpu/__init__.py configures (cold fused-step
-# compile on the tunneled chip is minutes; warm is seconds)
+# phase budgets (s); global watchdog = sum + slack, kept under the
+# driver's outer timeout (~2400 per .claude/skills/verify)
+WARMUP_BUDGET = 420.0
+FRONTEND_BUDGET = 700.0
+E2E_BUDGET = 420.0
+LOOP_BUDGET = 420.0
+GLOBAL_DEADLINE = WARMUP_BUDGET + FRONTEND_BUDGET + E2E_BUDGET \
+    + LOOP_BUDGET + 150.0  # = 2110
+
+# the one JSON line, mutated in place by the phases so the watchdog can
+# always print whatever has been measured so far
+OUT = {"metric": "frontend_odometry_fps", "value": 0.0,
+       "unit": "frames/s", "vs_baseline": 0.0}
+_DONE = threading.Event()
+
+
+def _emit_and_exit():
+    print(json.dumps(OUT), flush=True)
+    os._exit(0)
+
+
+def _watchdog():
+    if not _DONE.wait(timeout=GLOBAL_DEADLINE):
+        OUT["warn_global"] = "global deadline hit (wedged tunnel)"
+        _emit_and_exit()
+
+
+def _phase(name: str, budget: float, fn) -> bool:
+    """Run ``fn`` on a daemon thread under ``budget`` seconds; record a
+    warn on timeout or exception.  Returns True iff the phase completed
+    cleanly.  (Daemon threads may leak on a wedged D2H — the suite always
+    ends in os._exit, matching the round-2 behavior.)"""
+    err: list = []
+
+    def run():
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 — must never crash
+            err.append(e)
+            OUT[f"warn_{name}"] = f"{type(e).__name__}: {e}"[:300]
+            traceback.print_exc()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=budget)
+    if th.is_alive():
+        OUT[f"warn_{name}"] = "phase deadline hit (wedged tunnel)"
+        return False
+    return not err
 
 
 def main():
-    # GLOBAL watchdog: any D2H on this tunneled backend can wedge for tens
-    # of minutes (including the warm-up fetch, which no per-phase deadline
-    # covers) — this script must ALWAYS print its one JSON line
-    import threading as _th
-    _done = _th.Event()
+    threading.Thread(target=_watchdog, daemon=True).start()
 
-    def _watchdog():
-        if not _done.wait(timeout=1980.0):
-            print(json.dumps({
-                "metric": "frontend_odometry_fps", "value": 0.0,
-                "unit": "frames/s", "vs_baseline": 0.0,
-                "warn": "global deadline hit (wedged tunnel)"}), flush=True)
-            os._exit(0)
-
-    _th.Thread(target=_watchdog, daemon=True).start()
-
-    import jax
+    import jax  # noqa: F401 — backend init inside the watchdog's scope
     from mulls_tpu.config import load_flagfile, MullsConfig
     from mulls_tpu.io.dataset import FolderDataset, pad_cloud
-    from mulls_tpu.pipeline.odometry import OdometryPipeline
+    from mulls_tpu.pipeline.odometry import (init_state, prefetch_segments,
+                                             slam_scan)
 
     cfg_path = "/root/reference/script/config/lo_gflag_list_kitti_urban.txt"
     cfg = (load_flagfile(cfg_path) if os.path.exists(cfg_path)
            else MullsConfig())
 
     demo = "/root/reference/demo_data/pcd"
+    ds = None
     if os.path.isdir(demo):
         ds = FolderDataset(demo, cfg.shapes.n_raw)
         frames = [ds[i] for i in range(len(ds))]
@@ -56,150 +100,185 @@ def main():
                              .astype(np.float32)}, cfg.shapes.n_raw)
                   for _ in range(8)]
 
-    import jax
-    import jax.numpy as jnp
-    from mulls_tpu.pipeline.odometry import (StepOut, init_state,
-                                             prefetch_segments, slam_scan)
-
     # steady-state workload: mirror the demo scans into a longer
     # continuous-motion playlist (KITTI sequences are 1000+ frames; a
-    # 16-frame run would be dominated by per-run fixed costs).  Scans are
-    # pre-staged in host RAM: the metric is the streamed front-end
-    # throughput (pack + upload + fused device step), decoupled from this
-    # container's disk (the native C++ loader covers decode separately at
-    # >200 fps).
+    # 16-frame run would be dominated by per-run fixed costs)
     order = list(range(len(frames))) + list(range(len(frames) - 2, 0, -1))
     idx_list = (order * (256 // len(order) + 1))[:256]
     playlist = [frames[i] for i in idx_list]
 
-    # warm-up: compile the segment program AND force one result to host —
-    # on this tunneled backend, block_until_ready on a never-fetched
-    # stream reports enqueue completion, not compute completion (measured:
-    # 8 chained segments "block" in 3 ms but take 30 s to actually produce
-    # data), so every timed pass below ends with a REAL host fetch of the
-    # result buffers
-    state = init_state(cfg)
-    for k, batch in prefetch_segments(frames[:3], 16):
-        state, vecs = slam_scan(state, batch, cfg)
-    np.asarray(vecs)
+    # --- phase 0: warm-up ------------------------------------------------
+    # compile the segment program AND force one result to host — on this
+    # tunneled backend, block_until_ready on a never-fetched stream
+    # reports enqueue completion, not compute completion, so every timed
+    # pass below ends with a REAL host fetch.  One retry after a backend
+    # error (BENCH_r02 died right here, unguarded).
+    def warmup():
+        last = None
+        for attempt in range(2):
+            try:
+                state = init_state(cfg)
+                vecs = None
+                for k, batch in prefetch_segments(frames[:3], 16):
+                    state, vecs = slam_scan(state, batch, cfg)
+                np.asarray(vecs)
+                return
+            except BaseException as e:  # noqa: BLE001
+                last = e
+                OUT["warn_warmup_attempt"] = \
+                    f"attempt {attempt}: {type(e).__name__}"
+                time.sleep(15.0)
+        raise last
 
-    # timed: streamed run to data-on-host; best of three passes.  The
-    # per-segment result is a tiny [16,16] f32 buffer, so the end-of-pass
-    # fetch adds link RTT, not bandwidth — the timer measures the honest
-    # pipeline a user gets: upload + device compute + result readback
-    fps = 0.0
-    fetched = []
+    warm_ok = _phase("warmup", WARMUP_BUDGET, warmup)
 
-    def one_pass():
-        nonlocal fetched
-        state = init_state(cfg)
-        parts = []
-        t0 = time.perf_counter()
-        for k, batch in prefetch_segments(playlist, 16):
-            state, vecs = slam_scan(state, batch, cfg)
-            parts.append(vecs[:k])
-        fetched = [np.asarray(p) for p in parts]  # forces true completion
-        return len(playlist) / (time.perf_counter() - t0)
-
-    # the passes (including their blocking fetches) run in a worker thread
-    # under a hard deadline: a wedged tunnel D2H can block for many
-    # minutes, and this script must ALWAYS print its one JSON line
-    import threading
-    fps_samples: list = []
-
-    def _passes():
+    # --- phase 1: streamed front-end throughput --------------------------
+    # upload + fused device step (feature extraction + s2m MULLS-ICP +
+    # local-map update per frame) timed to data-on-host; best of 3 passes.
+    # Scans are pre-staged in host RAM: this is the streamed FRONT-END
+    # metric, decoupled from disk (the e2e metrics below include IO)
+    def frontend():
+        best = 0.0
         for _ in range(3):
-            fps_samples.append(one_pass())
+            state = init_state(cfg)
+            parts = []
+            t0 = time.perf_counter()
+            for k, batch in prefetch_segments(playlist, 16):
+                state, vecs = slam_scan(state, batch, cfg)
+                parts.append(vecs[:k])
+            fetched = [np.asarray(p) for p in parts]  # true completion
+            fps = len(playlist) / (time.perf_counter() - t0)
+            best = max(best, fps)
+            codes = np.concatenate(fetched)[:, 13].astype(int)
+            OUT["value"] = round(best, 3)
+            OUT["vs_baseline"] = round(best / 10.0, 3)
+            if not np.all(codes == 1):
+                OUT["warn_codes"] = str(codes.tolist())[:200]
 
-    th = threading.Thread(target=_passes, daemon=True)
-    th.start()
-    th.join(timeout=1500.0)
-    fps = max(fps_samples) if fps_samples else 0.0
-    codes = (np.concatenate(fetched)[:, 13].astype(int)
-             if fetched else None)
-    ok = codes is not None and bool(np.all(codes == 1))
-    out = {
-        "metric": "frontend_odometry_fps",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 3),
-    }
-    if th.is_alive():
-        out["warn"] = (f"deadline hit after {len(fps_samples)}/3 passes "
-                       "(wedged tunnel)")
-    elif not ok:
-        out["warn"] = f"codes={codes.tolist()}"
+    if warm_ok:
+        _phase("frontend", FRONTEND_BUDGET, frontend)
 
-    # --- second metric: end-to-end SLAM (disk decode -> front-end ->
-    # submap back-end with loop closure + PGO + end-of-run inner refine)
-    # on a 256-frame playlist — the reference's 10 Hz claim is this full
-    # loop (`mulls_slam.cpp:386-803`), loop closure ON.  Runs under its
-    # own deadline so a wedged tunnel still prints the line.
-    e2e: dict = {}
+    if ds is None:
+        _DONE.set()
+        _emit_and_exit()
 
-    def _e2e():
-        import dataclasses
-        from mulls_tpu.pipeline.slam import SlamPipeline
-        cfg2 = dataclasses.replace(cfg, submap=dataclasses.replace(
-            cfg.submap, loop_closure_detection_on=True,
-            submap_accu_tran=1e9, submap_accu_rot=1e9,
-            submap_accu_frame=32,
-            # the playlist re-drives an 11 m stretch, so neighboring
-            # submap ids ARE the revisits — the default id gap (8, sized
-            # for km-scale loops) would reject every candidate and the
-            # "loop closure ON" label would be hollow
-            min_submap_id_diff=3))
+    # --- phase 2: end-to-end SLAM on the demo playlist -------------------
+    # disk decode -> front-end -> submap back-end (loop closure + PGO) ->
+    # end-of-run inner refine, 256 frames: the reference's 10 Hz claim is
+    # this full loop (`mulls_slam.cpp:386-803`).  The playlist re-drives
+    # an 11 m stretch, so neighboring submap ids ARE the revisits — the
+    # id gap is lowered to 3 to make "loop closure ON" real here; the
+    # honest at-scale loop metric is phase 3 on the synthetic loop world
+    # with the DEFAULT id gap.
+    import dataclasses
+    from mulls_tpu.pipeline.slam import SlamPipeline
 
-        class _Playlist:
-            """Maps a 256-frame back-and-forth drive onto the demo files;
-            every access decodes from disk through the native loader —
-            the IO cost is part of the metric."""
+    cfg2 = dataclasses.replace(cfg, submap=dataclasses.replace(
+        cfg.submap, loop_closure_detection_on=True,
+        submap_accu_tran=1e9, submap_accu_rot=1e9,
+        submap_accu_frame=32, min_submap_id_diff=3))
 
-            def __init__(self, ds, idx):
-                self.ds, self.idx = ds, idx
+    class _Playlist:
+        """Maps a mirrored drive onto the demo files; every access decodes
+        from disk through the native loader — IO is part of the metric."""
 
-            def __len__(self):
-                return len(self.idx)
+        def __init__(self, ds_, idx):
+            self.ds, self.idx = ds_, idx
 
-            def __getitem__(self, i):
-                return self.ds[self.idx[i]]
+        def __len__(self):
+            return len(self.idx)
 
-        pl = _Playlist(ds, idx_list)
-        # warm-up: same protocol as the front-end metric — compile the
-        # scan/backend programs and absorb the per-process tunnel startup
-        # (~35 s first-touch) on a 64-frame prefix incl. one submap
-        # boundary, then time a full fresh run
-        SlamPipeline(cfg2, segment=16).run(_Playlist(ds, idx_list[:64]))
+        def __getitem__(self, i):
+            return self.ds[self.idx[i]]
+
+    def e2e_demo():
+        # warm-up long enough to hit a loop-closure boundary so the
+        # bank programs (pair_m2m, loop_eval_batch) and the bucket-padded
+        # PGO compile OUTSIDE the timed run (submaps every 32 frames, id
+        # gap 3 -> first candidate at submap 4 = frame 160)
+        SlamPipeline(cfg2, segment=16).run(_Playlist(ds, idx_list[:176]))
+        # the warm-up's PGO may be skipped by the consistency gate —
+        # precompile the bucket-padded solver on a throwaway 3-node graph
+        # with a deliberately inconsistent loop edge
+        from mulls_tpu.backend.submap import (ADJACENT_EDGE, REG_EDGE,
+                                              Edge, SlamBackend, Submap)
+        be_w = SlamBackend(cfg2)
+        for k in range(3):
+            p = np.eye(4)
+            p[0, 3] = k * 10.0
+            be_w.submaps.append(Submap(sid=k, pose=p, clouds=None,
+                                       descriptors=None, frame_begin=k,
+                                       frame_end=k))
+        for k in range(2):
+            T = np.eye(4)
+            T[0, 3] = 10.0
+            be_w.edges.append(Edge(i=k, j=k + 1, T=T, info=np.eye(6),
+                                   kind=ADJACENT_EDGE))
+        T = np.eye(4)
+        T[0, 3] = 20.8
+        be_w.edges.append(Edge(i=0, j=2, T=T, info=np.eye(6),
+                               kind=REG_EDGE))
+        be_w.optimize()
         pipe = SlamPipeline(cfg2, segment=16)
+        pl = _Playlist(ds, idx_list)
         t0 = time.perf_counter()
         res = pipe.run(pl)
         pipe.refine(res)
         dt = time.perf_counter() - t0
-        e2e["fps"] = len(pl) / dt
-        e2e["codes_ok"] = all(c == 1 for c in res.codes)
-        be = getattr(res, "backend", None)
-        e2e["submaps"] = len(be.submaps) if be else 0
-        e2e["loop_edges"] = (sum(1 for e in be.edges if e.kind == 2)
-                             if be else 0)
+        be = res.backend
+        OUT["slam_e2e_fps"] = round(len(pl) / dt, 3)
+        OUT["slam_e2e_vs_baseline"] = round(len(pl) / dt / 10.0, 3)
+        OUT["slam_e2e_submaps"] = len(be.submaps)
+        OUT["slam_e2e_loop_edges"] = sum(1 for e in be.edges
+                                         if e.kind == 2)
+        if not all(c == 1 for c in res.codes):
+            OUT["slam_e2e_warn"] = "unhealthy codes"
 
-    if os.path.isdir(demo) and not th.is_alive():
-        th2 = threading.Thread(target=_e2e, daemon=True)
-        th2.start()
-        th2.join(timeout=900.0)
-        if "fps" in e2e:
-            out["slam_e2e_fps"] = round(e2e["fps"], 3)
-            out["slam_e2e_vs_baseline"] = round(e2e["fps"] / 10.0, 3)
-            out["slam_e2e_submaps"] = e2e["submaps"]
-            out["slam_e2e_loop_edges"] = e2e["loop_edges"]
-            if not e2e["codes_ok"]:
-                out["slam_e2e_warn"] = "unhealthy codes"
-        else:
-            out["slam_e2e_warn"] = "deadline hit (wedged tunnel)"
+    if warm_ok:
+        _phase("e2e", E2E_BUDGET, e2e_demo)
 
-    _done.set()
-    print(json.dumps(out), flush=True)
-    if th.is_alive() or ("fps" not in e2e and os.path.isdir(demo)):
-        os._exit(0)  # a wedged fetch thread would hang teardown
+    # --- phase 3: end-to-end SLAM on the 360-frame synthetic loop world --
+    # real ~280 m rectangular loop, DEFAULT min_submap_id_diff: loop edges
+    # here close a genuine revisit, and the drift improvement vs pure
+    # odometry is reported alongside the rate
+    def e2e_loop():
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from synthetic_accuracy_bench import (build_world, loop_trajectory,
+                                              simulate)
+        n_frames = 360
+        rng = np.random.default_rng(7)
+        world = build_world(rng)
+        world_g = loop_trajectory(n_frames)
+        gt = np.einsum("ij,njk->nik", np.linalg.inv(world_g[0]), world_g)
+        sim = [simulate(world, world_g[k], cfg.shapes.n_raw, rng)
+               for k in range(n_frames)]
+        cfg3 = dataclasses.replace(cfg2, submap=dataclasses.replace(
+            cfg2.submap, submap_accu_tran=30.0, submap_accu_frame=150,
+            min_submap_id_diff=MullsConfig().submap.min_submap_id_diff))
+        # warm-up: front-end/back-end programs for cfg3 (same HLO as cfg2
+        # -> persistent-cache hits; this absorbs the retrace)
+        SlamPipeline(cfg3, segment=16).run(
+            type("L", (list,), {})(sim[:48]))
+        pipe = SlamPipeline(cfg3, segment=16)
+        t0 = time.perf_counter()
+        res = pipe.run(type("L", (list,), {})(sim))
+        pipe.refine(res)
+        dt = time.perf_counter() - t0
+        be = res.backend
+        OUT["slam_loop_fps"] = round(n_frames / dt, 3)
+        OUT["slam_loop_vs_baseline"] = round(n_frames / dt / 10.0, 3)
+        OUT["slam_loop_edges"] = sum(1 for e in be.edges if e.kind == 2)
+        end_gap = float(np.linalg.norm(res.poses[-1, :3, 3]
+                                       - gt[-1, :3, 3]))
+        OUT["slam_loop_end_gap_m"] = round(end_gap, 3)
+
+    if warm_ok:
+        _phase("loop", LOOP_BUDGET, e2e_loop)
+
+    _DONE.set()
+    _emit_and_exit()
 
 
 if __name__ == "__main__":

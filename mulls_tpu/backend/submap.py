@@ -23,7 +23,7 @@ optimize_pose_graph programs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -35,52 +35,170 @@ from mulls_tpu.backend import coarse_reg as cr
 from mulls_tpu.backend.ncc import match_ncc
 from mulls_tpu.backend.pgo import (PoseGraph, optimize_pose_graph,
                                    wrong_edge_check)
-from mulls_tpu.core import se3
 from mulls_tpu.frontend.icp import mm_lls_icp
 
 REG_EDGE, ADJACENT_EDGE, HISTORY_EDGE, NONE_EDGE = 2, 1, 0, -1
 
 
-@dataclass
 class Submap:
-    sid: int
-    pose: np.ndarray  # [4,4] world pose of the submap frame (f64)
-    clouds: dict  # host pytree of LocalMap clouds (in submap frame)
-    descriptors: dict  # host pytree of VertexDescriptors
-    frame_begin: int
-    frame_end: int
-    center: np.ndarray = field(default=None)
-    bbx_min: np.ndarray = field(default=None)
-    bbx_max: np.ndarray = field(default=None)
-    # pose confirmed by a successful PGO (`pose_stable`,
-    # `utility.hpp:260`, set for all submaps at `mulls_slam.cpp:620-621`);
-    # stable nodes get tight ceres-style bounds in later optimizations
-    stable: bool = False
-    # worst / mean per-frame registration confidence over this submap's
-    # span — the min-vs-mean ratio de-weights the adjacent PGO edge INTO
-    # this submap so corrections concentrate where the odometry actually
-    # degraded (normalized per-span: absolute confidence differs between
-    # dense and sparse environments)
-    span_min_conf: float = 1.0
-    span_mean_conf: float = 1.0
+    """One submap node: world pose + feature clouds + NCC descriptors.
+
+    Round-3 redesign: the clouds may be DEVICE-RESIDENT (``slot >= 0`` in
+    the backend's :class:`~mulls_tpu.backend.bank.SubmapBank`) — the
+    critical-path back-end never touches them from the host.  ``clouds``
+    and ``descriptors`` are lazy properties that fetch (and cache) the
+    host copy only when an off-critical-path consumer needs it
+    (checkpointing, multi-session merge, viewer snapshots).  World bounds
+    derive from a 6-float LOCAL-frame AABB + the pose, so PGO pose
+    updates re-bound the submap with zero cloud traffic.
+    """
+
+    def __init__(self, sid: int, pose: np.ndarray, clouds, descriptors,
+                 frame_begin: int, frame_end: int, center=None,
+                 bbx_min=None, bbx_max=None, stable: bool = False,
+                 span_min_conf: float = 1.0, span_mean_conf: float = 1.0,
+                 slot: int = -1, fetch=None, local_bbx=None):
+        self.sid = sid
+        self.pose = pose  # [4,4] world pose of the submap frame (f64)
+        self._clouds = clouds  # host pytree of LocalMap clouds, or None
+        self._descriptors = descriptors  # host VertexDescriptors, or None
+        self.frame_begin = frame_begin
+        self.frame_end = frame_end
+        self.center = (center if center is not None
+                       else np.asarray(pose)[:3, 3].copy())
+        self._bbx_min = bbx_min
+        self._bbx_max = bbx_max
+        # pose confirmed by a successful PGO (`pose_stable`,
+        # `utility.hpp:260`, set at `mulls_slam.cpp:620-621`); stable
+        # nodes get tight ceres-style bounds in later optimizations
+        self.stable = stable
+        # worst / mean per-frame registration confidence over this
+        # submap's span — the min-vs-mean ratio de-weights the adjacent
+        # PGO edge INTO this submap so corrections concentrate where the
+        # odometry actually degraded
+        self.span_min_conf = span_min_conf
+        self.span_mean_conf = span_mean_conf
+        self.slot = slot  # bank slot, -1 = host-resident
+        self._fetch = fetch  # () -> (host clouds, host descriptors)
+        self._local_bbx = local_bbx  # [6] local-frame (min3, max3)
+
+    def __repr__(self):
+        return (f"Submap(sid={self.sid}, frames={self.frame_begin}.."
+                f"{self.frame_end}, slot={self.slot})")
+
+    # --- lazy host materialization ------------------------------------
+    def _materialize(self):
+        if self._clouds is None and self._fetch is not None:
+            self._clouds, self._descriptors = self._fetch()
+
+    @property
+    def clouds(self):
+        self._materialize()
+        return self._clouds
+
+    @clouds.setter
+    def clouds(self, v):
+        self._clouds = v
+
+    @property
+    def descriptors(self):
+        self._materialize()
+        return self._descriptors
+
+    @descriptors.setter
+    def descriptors(self, v):
+        self._descriptors = v
+
+    # world bbx is lazy so add_submap never synchronizes on the in-flight
+    # device stream just to resolve the 6-float local AABB — the first
+    # consumer (the NEXT boundary's IoU gate) touches it after the
+    # adjacent-edge result was already fetched, when the fetch costs RTT
+    @property
+    def bbx_min(self):
+        if self._bbx_min is None:
+            self.compute_bounds()
+        return self._bbx_min
+
+    @bbx_min.setter
+    def bbx_min(self, v):
+        self._bbx_min = v
+
+    @property
+    def bbx_max(self):
+        if self._bbx_max is None:
+            self.compute_bounds()
+        return self._bbx_max
+
+    @bbx_max.setter
+    def bbx_max(self, v):
+        self._bbx_max = v
+
+    @property
+    def local_bbx(self) -> Optional[np.ndarray]:
+        """Local-frame AABB (min3, max3) of the structural classes."""
+        if self._local_bbx is None:
+            if self._clouds is None and self._fetch is None:
+                return None
+            pts = []
+            for name in ("ground", "facade", "pillar"):
+                c = self.clouds[name]
+                m = np.asarray(c.mask)
+                if m.any():
+                    pts.append(np.asarray(c.xyz)[m])
+            if not pts:
+                return None
+            p = np.concatenate(pts)
+            self._local_bbx = np.concatenate([p.min(0), p.max(0)])
+        elif not isinstance(self._local_bbx, np.ndarray):
+            # device handle from bank.local_bounds — 6-float fetch
+            self._local_bbx = np.asarray(self._local_bbx, np.float64)
+        return self._local_bbx
+
+    # --- pickling (checkpoint/merge artifacts) -------------------------
+    def __getstate__(self):
+        self._materialize()
+        _ = self.local_bbx  # resolve any device handle
+        d = dict(self.__dict__)
+        d["_fetch"] = None
+        return d
+
+    def __setstate__(self, d):
+        # tolerate round-2 checkpoints (dataclass fields without the
+        # lazy-underscore names)
+        if "clouds" in d and "_clouds" not in d:
+            d["_clouds"] = d.pop("clouds")
+            d["_descriptors"] = d.pop("descriptors", None)
+        if "bbx_min" in d and "_bbx_min" not in d:
+            d["_bbx_min"] = d.pop("bbx_min")
+            d["_bbx_max"] = d.pop("bbx_max", None)
+        d.setdefault("_bbx_min", None)
+        d.setdefault("_bbx_max", None)
+        d.setdefault("_fetch", None)
+        d.setdefault("_local_bbx", None)
+        d.setdefault("slot", -1)
+        d.setdefault("span_min_conf", 1.0)
+        d.setdefault("span_mean_conf", 1.0)
+        d.setdefault("stable", False)
+        self.__dict__.update(d)
 
     def compute_bounds(self):
-        pts = []
-        for name in ("ground", "facade", "pillar"):
-            c = self.clouds[name]
-            m = np.asarray(c.mask)
-            if m.any():
-                pts.append(np.asarray(c.xyz)[m])
-        if not pts:
-            self.center = self.pose[:3, 3].copy()
+        """World center + AABB from the local AABB's 8 transformed corners
+        (conservative superset of the exact per-point world AABB — the
+        IoU/radius candidate gates it feeds are heuristics)."""
+        self.center = self.pose[:3, 3].copy()
+        lb = self.local_bbx
+        if lb is None:
             self.bbx_min = self.center - 1.0
             self.bbx_max = self.center + 1.0
             return
-        p = np.concatenate(pts)
-        pw = p @ self.pose[:3, :3].T + self.pose[:3, 3]
-        self.center = self.pose[:3, 3].copy()
-        self.bbx_min = pw.min(0)
-        self.bbx_max = pw.max(0)
+        lo, hi = lb[:3], lb[3:]
+        corners = np.array([[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]],
+                            [lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]],
+                            [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]],
+                            [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]]])
+        w = corners @ self.pose[:3, :3].T + self.pose[:3, 3]
+        self.bbx_min = w.min(0)
+        self.bbx_max = w.max(0)
 
 
 @dataclass
@@ -145,6 +263,52 @@ def bev_align_submaps(a: Submap, b: Submap, grid: int = 320,
     return np.asarray(out.transform, np.float64), bool(out.valid)
 
 
+def _np_quat_from_rotation(R: np.ndarray) -> np.ndarray:
+    """Batched rotation matrix -> unit quaternion [w,x,y,z] on the HOST
+    (numpy twin of `se3.quat_from_rotation` — graph assembly must not pay
+    device round trips on the tunneled chip)."""
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw = np.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], -1)
+    qx = np.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
+    qy = np.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21], -1)
+    qz = np.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22], -1)
+    cands = np.stack([qw, qx, qy, qz], -2)
+    scores = np.stack([tr, m00, m11, m22], -1)
+    idx = np.argmax(scores, axis=-1)
+    q = np.take_along_axis(cands, idx[..., None, None].repeat(4, -1),
+                           axis=-2)[..., 0, :]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return q * np.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def _np_rotation_from_quat(q: np.ndarray) -> np.ndarray:
+    """Batched quaternion [w,x,y,z] -> rotation matrix on the HOST."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = (q[..., i] for i in range(4))
+    r0 = np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1)
+    r1 = np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1)
+    r2 = np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1)
+    return np.stack([r0, r1, r2], -2)
+
+
+def _np_double_check(T_coarse: np.ndarray, T_predict: np.ndarray,
+                     tran_thre: float, rot_thre_deg: float) -> bool:
+    """Host twin of `coarse_reg.double_check_tran`
+    (`build_pose_graph.cpp:211-235`)."""
+    dT = np.linalg.inv(T_predict) @ T_coarse
+    dt = float(np.linalg.norm(dT[:3, 3]))
+    c = np.clip((np.trace(dT[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+    return dt <= tran_thre and np.degrees(np.arccos(c)) <= rot_thre_deg
+
+
 def _bbx_iou_2d(a: Submap, b: Submap) -> float:
     lo = np.maximum(a.bbx_min[:2], b.bbx_min[:2])
     hi = np.minimum(a.bbx_max[:2], b.bbx_max[:2])
@@ -181,6 +345,12 @@ class SlamBackend:
         self._reg = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))
         # optimized submap poses (None until a successful PGO)
         self.optimized: Optional[np.ndarray] = None
+        # device-resident submap bank (allocated at the first add_submap;
+        # see backend/bank.py) — submap clouds stay in HBM and every
+        # back-end evaluation runs as one jitted program over bank slots
+        self.bank = None
+        self._bank_cap = cfg.submap.submap_bank_capacity
+        self._slot_sid: Dict[int, int] = {}  # slot -> sid
 
     # --- segmentation --------------------------------------------------
 
@@ -202,13 +372,50 @@ class SlamBackend:
                 or self._accu_rot_deg > s.submap_accu_rot
                 or self._accu_frames >= s.submap_accu_frame)
 
+    def _make_fetch(self, slot: int):
+        def fetch():
+            from mulls_tpu.backend import bank as bk
+            i = jnp.int32(slot)
+            return (jax.device_get(bk._slot(self.bank.clouds, i)),
+                    jax.device_get(bk._slot(self.bank.desc, i)))
+        return fetch
+
     def add_submap(self, local_map, pose: np.ndarray, frame_begin: int,
                    frame_end: int) -> Submap:
-        sm = Submap(sid=len(self.submaps), pose=pose.copy(),
-                    clouds=jax.device_get(local_map.clouds),
-                    descriptors=jax.device_get(local_map.vertex_desc),
-                    frame_begin=frame_begin, frame_end=frame_end)
-        sm.compute_bounds()
+        """Snapshot the device local map as a new submap.
+
+        Round-3 fast path: the clouds are COPIED INTO the device bank (one
+        donated dynamic-update-slice, async) instead of `device_get`-ing
+        the whole map — the round-2 full-map fetch at every boundary was
+        the single largest back-end cost on the tunneled link.  The host
+        only ever fetches the 6-float local AABB; the cloud pytree comes
+        down lazily if a checkpoint/merge/viewer asks for it."""
+        from mulls_tpu.backend import bank as bk
+        sid = len(self.submaps)
+        if self.bank is None:
+            self.bank = bk.init_bank(local_map.clouds, local_map.vertex_desc,
+                                     self._bank_cap)
+        slot = sid
+        if slot >= self._bank_cap:
+            # bank full: evict the oldest device-resident submap to host
+            # (it remains a loop candidate through the legacy host path)
+            slot = min(self._slot_sid, key=lambda s: self._slot_sid[s])
+            old = self.submaps[self._slot_sid[slot]]
+            old._materialize()
+            _ = old.local_bbx
+            old.slot = -1
+            old._fetch = None
+            del self._slot_sid[slot]
+            self.events.append(f"bank: evicted submap {old.sid} "
+                               f"(slot {slot} -> {sid})")
+        self.bank = bk.bank_store(self.bank, jnp.int32(slot),
+                                  local_map.clouds, local_map.vertex_desc)
+        self._slot_sid[slot] = sid
+        lb = bk.local_bounds(local_map.clouds)  # device [6], fetched lazily
+        sm = Submap(sid=sid, pose=pose.copy(), clouds=None, descriptors=None,
+                    frame_begin=frame_begin, frame_end=frame_end,
+                    slot=slot, fetch=self._make_fetch(slot), local_bbx=lb)
+        # bounds stay lazy (device AABB handle) — nothing here blocks
         sm.span_min_conf = self._span_min_conf
         sm.span_mean_conf = (self._span_conf_sum / self._span_conf_n
                              if self._span_conf_n else 1.0)
@@ -242,10 +449,38 @@ class SlamBackend:
 
     # --- back-end step at a new submap boundary --------------------------
 
+    def _pair_reg(self, a: Submap, b: Submap, T_guess: np.ndarray,
+                  max_iter: Optional[int] = None) -> dict:
+        """m2m registration of b onto a as a plain host dict; rides the
+        bank's compiled pair program when both submaps are device-resident
+        (one dispatch + one 52-float fetch), else the legacy host path."""
+        from mulls_tpu.backend import bank as bk
+        mi = max_iter or self.cfg.reg.reg_max_iter_num_m2m
+        if self.bank is not None and a.slot >= 0 and b.slot >= 0:
+            row = np.asarray(bk.pair_m2m(
+                self.bank, jnp.int32(a.slot), jnp.int32(b.slot),
+                jnp.asarray(T_guess, jnp.float32), self.cfg, mi))
+            return bk.unpack_reg(row)
+        res = self.map_to_map(a, b, T_guess, max_iter=mi)
+        return {"T": np.asarray(res.transform, np.float64),
+                "sigma": float(res.sigma), "code": int(res.process_code),
+                "confidence": float(res.confidence),
+                "iterations": int(res.iterations),
+                "info": np.asarray(res.information, np.float64)}
+
     def on_new_submap(self, key) -> Optional[np.ndarray]:
         """Runs the reference's per-submap back-end (SURVEY.md §3.2).
         Returns updated submap poses [S, 4, 4] if a PGO ran and was
-        accepted, else None."""
+        accepted, else None.
+
+        Round-3 fast path: with bank-resident submaps the whole
+        loop-candidate ladder (NCC match + GNC coarse + double-check +
+        fine m2m, `mulls_slam.cpp:517-576`) is ONE batched device program
+        (`bank.loop_eval_batch`); the host sees only packed result rows.
+        Candidates are therefore evaluated from the PRE-transfer odometry
+        prediction; after a transfer correction, still-failing candidates
+        are re-dispatched once from the corrected guess (the reference's
+        sequential semantics, recovered in a rare second round)."""
         s_cfg = self.cfg.submap
         if len(self.submaps) < 2:
             return None
@@ -259,16 +494,14 @@ class SlamBackend:
 
         # adjacent edge + map-to-map refinement
         T_adj = np.linalg.inv(a.pose) @ b.pose
-        res = self.map_to_map(a, b, T_adj)
-        code = int(res.process_code)
-        sigma = float(res.sigma)
+        adj = self._pair_reg(a, b, T_adj)
+        code, sigma = adj["code"], adj["sigma"]
         if code == 1 and sigma <= s_cfg.map2map_reliable_sigma_thre:
-            T_adj_ref = np.asarray(res.transform, np.float64)
-            info = np.asarray(res.information, np.float64)
             # overwrite odometry with the refined estimate
-            b.pose = a.pose @ T_adj_ref
+            T_adj = adj["T"]
+            info = adj["info"]
+            b.pose = a.pose @ T_adj
             b.compute_bounds()
-            T_adj = T_adj_ref
         else:
             info = np.eye(6) * (1.0 / max(sigma, 0.05) ** 2
                                 if code == 1 else 100.0)
@@ -289,7 +522,7 @@ class SlamBackend:
                 f"info x{q*q:.4f}")
         self.edges.append(Edge(i=a.sid, j=b.sid, T=T_adj, info=info * q * q,
                                kind=ADJACENT_EDGE, sigma=sigma,
-                               confidence=float(res.confidence)))
+                               confidence=adj["confidence"]))
 
         if not s_cfg.loop_closure_detection_on:
             return None
@@ -325,10 +558,129 @@ class SlamBackend:
         cands.sort(key=lambda x: -x[0])
         self.events.append(f"submap {b.sid}: {len(cands)} loop candidates")
 
+        sel = cands[:s_cfg.max_used_reg_edge_per_optimization]
+        use_bank = (self.bank is not None and b.slot >= 0 and sel
+                    and all(o.slot >= 0 for _, o in sel))
+        if use_bank:
+            new_reg_edges = self._eval_candidates_banked(sel, b, overall,
+                                                         key)
+        else:
+            new_reg_edges = self._eval_candidates_host(sel, b, overall, key)
+
+        if new_reg_edges == 0:
+            return None
+        poses = self.optimize()
+        if poses is not None:
+            self.cooling = s_cfg.cooling_submap_num
+            self.frames_wo_opt = 0
+        return poses
+
+    def _eval_candidates_banked(self, sel, b: Submap, overall: bool,
+                                key) -> int:
+        """Batched loop-candidate ladder over bank slots: ONE device
+        dispatch for all K candidates, host accept logic on packed rows,
+        rare re-dispatches for BEV fallback / transfer-corrected retries."""
+        from mulls_tpu.backend import bank as bk
+        s_cfg = self.cfg.submap
+        f_t, f_r = (10.0, 6.0) if overall else (3.0, 3.0)
+        K = s_cfg.max_used_reg_edge_per_optimization
+        old_idx = np.zeros((K,), np.int32)
+        Tg = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        uc = np.zeros((K,), bool)
+        cm = np.broadcast_to(np.asarray([f_t, f_r], np.float32),
+                             (K, 2)).copy()
+        for r, (iou, old) in enumerate(sel):
+            old_idx[r] = old.slot
+            Tg[r] = (np.linalg.inv(old.pose) @ b.pose).astype(np.float32)
+            uc[r] = bool(iou > s_cfg.min_iou_thre_global_reg or overall)
+        rows = np.asarray(bk.loop_eval_batch(
+            self.bank, jnp.asarray(old_idx), jnp.int32(b.slot),
+            jnp.asarray(Tg), jnp.asarray(uc), jnp.asarray(cm), key,
+            self.cfg))
+
         new_reg_edges = 0
         transfer_T: Optional[np.ndarray] = None
-        for rank, (iou, old) in enumerate(
-                cands[:s_cfg.max_used_reg_edge_per_optimization]):
+        for r, (iou, old) in enumerate(sel):
+            d = bk.unpack_loop(rows[r])
+            T_guess = np.asarray(Tg[r], np.float64)
+
+            def _weak(dd):
+                return (dd["code"] != 1
+                        or dd["confidence"] < s_cfg.map_to_map_min_cor_ratio)
+
+            if d["coarse_used"]:
+                self.events.append(f"loop {old.sid}->{b.sid}: using "
+                                   "coarse alignment")
+            elif uc[r]:
+                # NCC coarse failed its checks inside the batch; the fine
+                # solve fell back to the odometry prediction.  Only when
+                # THAT also failed is the (expensive, rare) global BEV
+                # basin search worth a retry dispatch
+                if _weak(d):
+                    T_bev, ok_bev = bk.pair_bev(self.bank,
+                                                jnp.int32(old.slot),
+                                                jnp.int32(b.slot))
+                    T_bev = np.asarray(T_bev, np.float64)
+                    if bool(ok_bev) and _np_double_check(
+                            T_bev, T_guess,
+                            s_cfg.wrong_edge_tran_thre * f_t,
+                            s_cfg.wrong_edge_rot_thre_deg * f_r):
+                        d2 = self._pair_reg(old, b, T_bev)
+                        if not _weak(d2):
+                            d = dict(d2, coarse_used=True)
+                            self.events.append(
+                                f"loop {old.sid}->{b.sid}: using BEV "
+                                "coarse alignment")
+                    else:
+                        self.events.append(f"loop {old.sid}->{b.sid}: "
+                                           "coarse failed, using odometry "
+                                           "prediction")
+            if (not d["coarse_used"] and transfer_T is None
+                    and self.frames_wo_opt
+                    > s_cfg.num_frame_thre_large_drift):
+                # large drift + no global registration: the odometry prior
+                # is untrustworthy, skip the candidate (`mulls_slam.cpp:558`)
+                self.events.append(f"loop {old.sid}->{b.sid}: skipped, "
+                                   "drifted odometry prior only")
+                continue
+            if transfer_T is not None and _weak(d):
+                # the batched result used the pre-transfer guess; the
+                # reference's sequential loop would have seen the
+                # corrected b.pose — recover that with one retry dispatch
+                d = self._pair_reg(old, b, np.linalg.inv(old.pose) @ b.pose)
+            if d["code"] != 1:
+                self.events.append(f"loop {old.sid}->{b.sid}: fine reg code "
+                                   f"{d['code']}")
+                continue
+            if d["confidence"] < s_cfg.map_to_map_min_cor_ratio:
+                # overlap too thin for a trustworthy m2m edge
+                # (`--map_to_map_min_cor_ratio`, `mulls_slam.cpp:566`)
+                self.events.append(
+                    f"loop {old.sid}->{b.sid}: rejected, corr ratio "
+                    f"{d['confidence']:.3f}")
+                continue
+            self.events.append(f"loop {old.sid}->{b.sid}: accepted, sigma "
+                               f"{d['sigma']:.4f}")
+            self.edges.append(Edge(i=old.sid, j=b.sid, T=d["T"],
+                                   info=d["info"], kind=REG_EDGE,
+                                   sigma=d["sigma"],
+                                   confidence=d["confidence"]))
+            new_reg_edges += 1
+            if s_cfg.transfer_correct_reg_tran_on:
+                transfer_T = d["T"]
+                b.pose = old.pose @ transfer_T
+                b.compute_bounds()
+        return new_reg_edges
+
+    def _eval_candidates_host(self, sel, b: Submap, overall: bool,
+                              key) -> int:
+        """Legacy sequential candidate ladder (host clouds, per-pair
+        dispatches) — used when a candidate was evicted from the bank or
+        restored from a checkpoint."""
+        s_cfg = self.cfg.submap
+        new_reg_edges = 0
+        transfer_T: Optional[np.ndarray] = None
+        for rank, (iou, old) in enumerate(sel):
             T_guess = np.linalg.inv(old.pose) @ b.pose
             T_init = T_guess
             global_reg_ok = False
@@ -344,11 +696,10 @@ class SlamBackend:
                 f_t, f_r = (10.0, 6.0) if overall else (3.0, 3.0)
 
                 def _checked(T_c):
-                    return bool(cr.double_check_tran(
-                        jnp.asarray(T_c, jnp.float32),
-                        jnp.asarray(T_guess, jnp.float32),
+                    return _np_double_check(
+                        np.asarray(T_c, np.float64), T_guess,
                         s_cfg.wrong_edge_tran_thre * f_t,
-                        s_cfg.wrong_edge_rot_thre_deg * f_r))
+                        s_cfg.wrong_edge_rot_thre_deg * f_r)
 
                 if ok and _checked(T_coarse):
                     T_init = T_coarse
@@ -375,37 +726,29 @@ class SlamBackend:
                 self.events.append(f"loop {old.sid}->{b.sid}: skipped, "
                                    "drifted odometry prior only")
                 continue
-            res = self.map_to_map(old, b, T_init)
-            if int(res.process_code) != 1:
+            d = self._pair_reg(old, b, T_init)
+            if d["code"] != 1:
                 self.events.append(f"loop {old.sid}->{b.sid}: fine reg code "
-                                   f"{int(res.process_code)}")
+                                   f"{d['code']}")
                 continue
-            if float(res.confidence) < s_cfg.map_to_map_min_cor_ratio:
+            if d["confidence"] < s_cfg.map_to_map_min_cor_ratio:
                 # overlap too thin for a trustworthy m2m edge
                 # (`--map_to_map_min_cor_ratio`, `mulls_slam.cpp:566`)
                 self.events.append(
                     f"loop {old.sid}->{b.sid}: rejected, corr ratio "
-                    f"{float(res.confidence):.3f}")
+                    f"{d['confidence']:.3f}")
                 continue
             self.events.append(f"loop {old.sid}->{b.sid}: accepted, sigma "
-                               f"{float(res.sigma):.4f}")
+                               f"{d['sigma']:.4f}")
             self.edges.append(Edge(
-                i=old.sid, j=b.sid, T=np.asarray(res.transform, np.float64),
-                info=np.asarray(res.information, np.float64), kind=REG_EDGE,
-                sigma=float(res.sigma), confidence=float(res.confidence)))
+                i=old.sid, j=b.sid, T=d["T"], info=d["info"], kind=REG_EDGE,
+                sigma=d["sigma"], confidence=d["confidence"]))
             new_reg_edges += 1
             if s_cfg.transfer_correct_reg_tran_on:
-                transfer_T = np.asarray(res.transform, np.float64)
+                transfer_T = d["T"]
                 b.pose = old.pose @ transfer_T
                 b.compute_bounds()
-
-        if new_reg_edges == 0:
-            return None
-        poses = self.optimize()
-        if poses is not None:
-            self.cooling = s_cfg.cooling_submap_num
-            self.frames_wo_opt = 0
-        return poses
+        return new_reg_edges
 
     def _dist_since(self, old: Submap) -> float:
         return float(sum(np.linalg.norm(
@@ -418,12 +761,14 @@ class SlamBackend:
         m = len(self.submaps)
         active = [e for e in self.edges if e.kind in (REG_EDGE, ADJACENT_EDGE)]
         e = len(active)
+        # all-host assembly (numpy quat conversion): graph building must
+        # not pay device round trips per boundary on the tunneled chip
         node_t = np.stack([s.pose[:3, 3] for s in self.submaps]).astype(np.float32)
-        Rs = np.stack([s.pose[:3, :3] for s in self.submaps]).astype(np.float32)
-        node_q = np.asarray(se3.quat_from_rotation(jnp.asarray(Rs)))
+        Rs = np.stack([s.pose[:3, :3] for s in self.submaps])
+        node_q = _np_quat_from_rotation(Rs).astype(np.float32)
         edge_t = np.stack([ed.T[:3, 3] for ed in active]).astype(np.float32)
-        Rq = np.stack([ed.T[:3, :3] for ed in active]).astype(np.float32)
-        edge_q = np.asarray(se3.quat_from_rotation(jnp.asarray(Rq)))
+        Rq = np.stack([ed.T[:3, :3] for ed in active])
+        edge_q = _np_quat_from_rotation(Rq).astype(np.float32)
         w_adj = self.cfg.submap.adjacent_edge_weight_ratio
         info = np.stack([
             ed.info * (w_adj if ed.kind == ADJACENT_EDGE else 1.0)
@@ -481,15 +826,42 @@ class SlamBackend:
             cap_r = max_rr + 0.01
             t_lim = np.minimum(t_lim, cap_t)
             r_lim = np.minimum(r_lim, cap_r)
-            t_limit = jnp.asarray(t_lim)
-            r_limit = jnp.asarray(r_lim)
+            t_limit, r_limit = t_lim, r_lim
+
+        # bucket-pad nodes/edges (16/32 steps): `optimize_pose_graph` is
+        # jitted on exact shapes, so an unpadded graph recompiles at EVERY
+        # submap boundary — on the tunneled chip that recompile dwarfed
+        # the solve itself.  Padding nodes are fixed identity poses;
+        # padding edges are masked out (w_edge = 0 in the solver)
+        mp = max(16, -(-m // 16) * 16)
+        ep = max(32, -(-e // 32) * 32)
+        node_t = np.concatenate([node_t, np.zeros((mp - m, 3), np.float32)])
+        q_pad = np.zeros((mp - m, 4), np.float32)
+        q_pad[:, 0] = 1.0
+        node_q = np.concatenate([node_q, q_pad])
+        fixed = np.concatenate([fixed, np.ones(mp - m, bool)])
+        if t_limit is not None:
+            t_limit = jnp.asarray(np.concatenate(
+                [t_limit, np.zeros(mp - m, np.float32)]))
+            r_limit = jnp.asarray(np.concatenate(
+                [r_limit, np.zeros(mp - m, np.float32)]))
+        edge_i = np.asarray([ed.i for ed in active] + [0] * (ep - e),
+                            np.int32)
+        edge_j = np.asarray([ed.j for ed in active] + [0] * (ep - e),
+                            np.int32)
+        edge_t = np.concatenate([edge_t, np.zeros((ep - e, 3), np.float32)])
+        eq_pad = np.zeros((ep - e, 4), np.float32)
+        eq_pad[:, 0] = 1.0
+        edge_q = np.concatenate([edge_q, eq_pad])
+        info = np.concatenate([info, np.broadcast_to(
+            np.eye(6, dtype=np.float32), (ep - e, 6, 6))])
+        edge_mask = np.concatenate([np.ones(e, bool), np.zeros(ep - e, bool)])
         return PoseGraph(
             node_t=jnp.asarray(node_t), node_q=jnp.asarray(node_q),
-            edge_i=jnp.asarray([ed.i for ed in active], jnp.int32),
-            edge_j=jnp.asarray([ed.j for ed in active], jnp.int32),
+            edge_i=jnp.asarray(edge_i), edge_j=jnp.asarray(edge_j),
             edge_t=jnp.asarray(edge_t), edge_q=jnp.asarray(edge_q),
             edge_info=jnp.asarray(info),
-            edge_mask=jnp.ones(e, bool),
+            edge_mask=jnp.asarray(edge_mask),
             fixed=jnp.asarray(fixed),
             t_limit=t_limit, r_limit=r_limit), active
 
@@ -580,9 +952,10 @@ class SlamBackend:
         if n_reg == 0 or n_bad_reg == n_reg or \
                 (n_bad_reg / max(n_reg, 1)) > s_cfg.wrong_edge_ratio_thre:
             return None  # optimization rejected
-        t = np.asarray(t, np.float64)
-        R = np.asarray(se3.rotation_from_quat(jnp.asarray(q)), np.float64)
-        poses = np.tile(np.eye(4), (len(self.submaps), 1, 1))
+        m = len(self.submaps)
+        t = np.asarray(t, np.float64)[:m]  # drop bucket padding
+        R = _np_rotation_from_quat(np.asarray(q)[:m])
+        poses = np.tile(np.eye(4), (m, 1, 1))
         poses[:, :3, :3] = R
         poses[:, :3, 3] = t
         for s, p in zip(self.submaps, poses):

@@ -377,6 +377,11 @@ class SubmapConfig:
     # (`--max_iter_inner_submap`, `mulls_slam.cpp:839,881`; our exact-GN
     # solver converges in far fewer steps than the reference's LM default)
     inner_refine_max_iter: int = 15
+    # TPU-build extension: slots in the device-resident submap bank
+    # (`backend/bank.py`, ~0.9 MB HBM each at the KITTI operating point);
+    # submaps beyond the capacity spill to host and take the legacy
+    # per-pair loop-closure path
+    submap_bank_capacity: int = 192
 
 
 @dataclass(frozen=True)
@@ -617,7 +622,13 @@ def derive_shapes(cfg: MullsConfig) -> MullsConfig:
     span = 2.0 * cfg.preprocess.max_dist_used / max(cfg.ground.gf_grid_size,
                                                     1e-3)
     need = int(math.ceil(span)) + 4
-    gd = min(cfg.shapes.grid_dim, max(32, -(-need // 8) * 8))
+    # cap against the PRISTINE default, not the current (possibly already
+    # shrunk) value: derive_shapes runs on every _apply_flag_lines call, so
+    # a later CLI override raising --max_dist_used must be able to grow the
+    # window back (shrink-only ratcheting silently classified all ground
+    # beyond the stale window as unground)
+    base_gd = type(cfg.shapes)().grid_dim
+    gd = min(base_gd, max(32, -(-need // 8) * 8))
     if gd != cfg.shapes.grid_dim:
         cfg = dataclasses.replace(
             cfg, shapes=dataclasses.replace(cfg.shapes, grid_dim=gd))

@@ -162,8 +162,18 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
     # candidate queries for pass 2: all high-curvature points (stable-point
     # gate 0.3*thre is a superset of the vertex-method-2 gate)
     curv_gate = feats.valid & (feats.curvature > 0.3 * fcfg.curvature_thre)
-    cand_idx, cand_valid = compact_topk_score(
-        curv_gate, feats.curvature, shapes.n_vertex_full)
+    # the candidate pool has only n_q rows: a flag-settable
+    # pca_down_rate >= 6 makes n_q < n_vertex_full and lax.top_k would
+    # fail at trace time — clamp the request and pad back to the static
+    # budget (padded rows carry valid=False and are inert downstream)
+    kv = min(shapes.n_vertex_full, curv_gate.shape[0])
+    cand_idx, cand_valid = compact_topk_score(curv_gate, feats.curvature, kv)
+    if kv < shapes.n_vertex_full:
+        pad = shapes.n_vertex_full - kv
+        cand_idx = jnp.concatenate(
+            [cand_idx, jnp.zeros((pad,), cand_idx.dtype)])
+        cand_valid = jnp.concatenate(
+            [cand_valid, jnp.zeros((pad,), cand_valid.dtype)])
     # support classes over the FULL unground cloud: unqueried rows keep
     # class 0 (one_hot(-1) = zero row), exactly the reference's
     # index_with_feature default for non-PCA'd points

@@ -225,7 +225,8 @@ class SlamPipeline:
                 i = seg_end
                 seg_count += 1
         else:
-            from collections import deque
+            import queue as _queue
+            import threading as _threading
             from mulls_tpu.pipeline.odometry import (prefetch_segments,
                                                      slam_scan_keep)
 
@@ -241,28 +242,65 @@ class SlamPipeline:
                 def __getitem__(self, k):
                     return self.ds[self.start + k]
 
+            # round-3 overlap: ALL segment post-processing (the blocking
+            # D2H fetch of the segment vecs, pose chaining, and the whole
+            # submap back-end — bank store, loop-candidate ladder, PGO)
+            # runs on ONE worker thread consuming segments in order, so
+            # the main thread never stops dispatching front-end segments.
+            # The back-end has no same-frame feedback into the front-end
+            # (corrections live on the host pose array; the reference
+            # applies PGO results with a lag too, `mulls_slam.cpp:
+            # 614-623`), so processing a segment 1-4 segments late only
+            # delays bookkeeping, never changes device inputs.  All
+            # mutable run state (poses, codes, backend) is worker-
+            # confined; the bounded queue gives backpressure.
+            jobs: "_queue.Queue" = _queue.Queue(maxsize=4)
+            w_err: List[BaseException] = []
+
+            def _worker():
+                while True:
+                    item = jobs.get()
+                    try:
+                        if item is not None and not w_err:
+                            _process(item)
+                    except BaseException as e:  # surface in main thread
+                        w_err.append(e)
+                    finally:
+                        jobs.task_done()
+                    if item is None:
+                        return
+
+            th = _threading.Thread(target=_worker, daemon=True)
+            th.start()
+
             ship_ts = cfg.map.motion_compensation_method == 1
-            pending: deque = deque()
-            for k, batch in prefetch_segments(_View(dataset, i),
-                                              self.segment,
-                                              with_ts=ship_ts):
-                # non-donating scan: the pending entry keeps the boundary
-                # local map alive while the next segment runs
-                state, vecs = slam_scan_keep(state, batch, cfg)
-                pending.append((i, k, vecs, state.local_map))
-                i += k
-                if len(pending) > 1:
-                    _process(pending.popleft())
-                seg_count += 1
-                if self.checkpoint_path and \
-                        seg_count % self.checkpoint_every == 0:
-                    while pending:  # drain: checkpoint state must match i
-                        _process(pending.popleft())
-                    from mulls_tpu.pipeline.checkpoint import save_checkpoint
-                    save_checkpoint(self.checkpoint_path, state, i, poses,
-                                    poses_odom, codes, sigmas, backend)
-            while pending:
-                _process(pending.popleft())
+            try:
+                for k, batch in prefetch_segments(_View(dataset, i),
+                                                  self.segment,
+                                                  with_ts=ship_ts):
+                    # non-donating scan: the queued entry keeps the
+                    # boundary local map alive while later segments run
+                    state, vecs = slam_scan_keep(state, batch, cfg)
+                    jobs.put((i, k, vecs, state.local_map))
+                    i += k
+                    seg_count += 1
+                    if w_err:
+                        break
+                    if self.checkpoint_path and \
+                            seg_count % self.checkpoint_every == 0:
+                        jobs.join()  # drain: checkpoint must match i
+                        if w_err:
+                            break
+                        from mulls_tpu.pipeline.checkpoint import \
+                            save_checkpoint
+                        save_checkpoint(self.checkpoint_path, state, i,
+                                        poses, poses_odom, codes, sigmas,
+                                        backend)
+            finally:
+                jobs.put(None)
+                th.join()
+            if w_err:
+                raise w_err[0]
 
         if self.checkpoint_path:
             # final checkpoint: the completed session is the input artifact

@@ -127,3 +127,31 @@ def test_checkpoint_backend_span_fields(tmp_path):
     be3 = SlamBackend(cfg)
     assert ck.load_checkpoint(path, backend=be3) is not None
     assert be3._span_min_conf == 1.0
+
+
+def test_bench_prints_json_on_warmup_failure(tmp_path):
+    """Kill-test (round-3 hardening): a backend error at the bench's
+    warm-up fetch must still yield exactly one parseable JSON line with a
+    warn field and rc 0 — BENCH_r02 died here with zero output."""
+    import json
+    import subprocess
+    import sys
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import mulls_tpu.pipeline.odometry as od\n"
+        "def boom(*a, **k):\n"
+        "    raise RuntimeError('injected warmup failure')\n"
+        "od.slam_scan = boom\n"
+        "import bench\n"
+        "bench.WARMUP_BUDGET = 60.0\n"
+        "bench.main()\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    p = subprocess.run([sys.executable, str(driver)], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=280)
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = p.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "frontend_odometry_fps"
+    assert "warn_warmup" in out
