@@ -136,6 +136,14 @@ def framewise_pgo(poses_odom: np.ndarray,
         edge_info=jnp.asarray(np.concatenate(infos)),
         edge_mask=jnp.ones(sum(len(x) for x in e_i), bool),
         fixed=jnp.asarray(fixed))
-    nt, nq, _ = optimize_pose_graph(graph, iterations=iterations,
-                                    robust_kernel=True)
+    if n > 256:
+        # frame-scale graphs (KITTI-00 is 4541 nodes): the dense solver
+        # materializes the (6n)^2 Hessian — use the matrix-free
+        # edge-local CG path (`pgo.optimize_pose_graph_cg`) instead
+        from mulls_tpu.backend.pgo import optimize_pose_graph_cg
+        nt, nq, _ = optimize_pose_graph_cg(graph, iterations=iterations,
+                                           robust_kernel=True)
+    else:
+        nt, nq, _ = optimize_pose_graph(graph, iterations=iterations,
+                                        robust_kernel=True)
     return _tq_to_poses(np.asarray(nt), np.asarray(nq))

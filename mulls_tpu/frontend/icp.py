@@ -62,10 +62,21 @@ class _Corr(NamedTuple):
 
 def _find_corres(s_xyz, s_dir, s_mask, target: FeatureCloud, dis_thre,
                  cos_bearing: float, normal_check: bool,
-                 duplicate_check: bool = True) -> _Corr:
+                 duplicate_check: bool = True,
+                 normal_shooting: bool = False) -> _Corr:
     """determine_corres parity (`cregistration.hpp:1701-1835`)."""
     t_cap = target.capacity
-    idx, d2 = nearest_neighbor(s_xyz, s_mask, target.xyz, target.mask)
+    if normal_shooting:
+        # --normal_shooting_on (`cregistration.hpp:1729-1737`): planar
+        # classes pick the target with minimum perpendicular distance to
+        # the source-normal ray instead of the Euclidean 1-NN; the gate at
+        # 2.5x dis_thre is the reference's filter_dis_times cap
+        from mulls_tpu.ops.neighbors import normal_shooting_neighbor
+        idx, d2 = normal_shooting_neighbor(s_xyz, s_dir, s_mask,
+                                           target.xyz, target.mask,
+                                           2.5 * dis_thre)
+    else:
+        idx, d2 = nearest_neighbor(s_xyz, s_mask, target.xyz, target.mask)
     cand = s_mask & (d2 <= (2.5 * dis_thre) ** 2)
     if duplicate_check:
         # one source per target: keep the minimum-distance source
@@ -223,7 +234,8 @@ def mm_lls_icp(source: Dict[str, FeatureCloud],
                                           & (s_xyz <= tmax), axis=-1)
             corrs[name] = _find_corres(
                 s_xyz, s_dir, s_mask, target[name], thre[ci], cos_bearing,
-                normal_check=(name != "vertex"))
+                normal_check=(name != "vertex"),
+                normal_shooting=(cfg.normal_shooting_on and _PLANAR[name]))
             s_pts[name] = s_xyz
 
         cnt = {n: jnp.sum(corrs[n].valid) for n in used}

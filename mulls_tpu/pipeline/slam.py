@@ -112,6 +112,46 @@ class SlamPipeline:
                 print(f"[mulls_tpu] resumed at frame {i} "
                       f"({len(backend.submaps)} submaps)")
 
+        def _boundary(lmap, seg_end):
+            """Submap boundary back-end (`mulls_slam.cpp:451-628`): snapshot
+            the local map as a new submap, run the adjacent/loop/PGO ladder,
+            and fold any pose corrections back into the trajectory."""
+            nonlocal cur_pose, submap_open_begin
+            last = seg_end - 1
+            sm = backend.add_submap(lmap, poses[last],
+                                    submap_open_begin, last)
+            frame_submap[submap_open_begin:seg_end] = sm.sid
+            submap_open_begin = seg_end
+            old_poses = np.stack([s.pose for s in backend.submaps])
+            new_poses = backend.on_new_submap(self._next_key())
+            if new_poses is not None:
+                # rigidly move each submap's frames to its new pose.
+                # The correction is computed against old_poses (the
+                # poses the stored frames were chained from, captured
+                # BEFORE on_new_submap), so any in-call m2m/transfer
+                # nudge of the newest submap is already folded into
+                # newp — adopting ref_pose first and then remapping
+                # would double-apply that nudge and leave the
+                # trajectory tail off by the transfer amount
+                for s, newp in zip(backend.submaps, new_poses):
+                    mask = frame_submap[:seg_end] == s.sid
+                    if not mask.any():
+                        continue
+                    corr = newp @ np.linalg.inv(old_poses[s.sid])
+                    poses[:seg_end][mask] = np.einsum(
+                        "ij,njk->nik", corr, poses[:seg_end][mask])
+                cur_pose = poses[seg_end - 1]
+            else:
+                # no PGO this submap: the adjacent-edge map2map
+                # refinement may still have nudged the newest submap
+                # pose — adopt it for the trigger frame and continue
+                # odometry from it (`mulls_slam.cpp:489-498`)
+                ref_pose = backend.submaps[-1].pose
+                if not np.allclose(ref_pose, poses[last]):
+                    cur_pose = ref_pose
+                    poses[last] = ref_pose
+            return sm
+
         def _process(entry):
             """Host bookkeeping + back-end for ONE completed segment
             (fetch of its packed vecs happens here — one lookahead behind
@@ -145,39 +185,7 @@ class SlamPipeline:
             # back-end at segment boundary (`mulls_slam.cpp:451-628`)
             tb0 = time.perf_counter()
             if backend.should_segment():
-                last = seg_end - 1
-                sm = backend.add_submap(lmap, poses[last],
-                                        submap_open_begin, last)
-                frame_submap[submap_open_begin:seg_end] = sm.sid
-                submap_open_begin = seg_end
-                old_poses = np.stack([s.pose for s in backend.submaps])
-                new_poses = backend.on_new_submap(self._next_key())
-                if new_poses is not None:
-                    # rigidly move each submap's frames to its new pose.
-                    # The correction is computed against old_poses (the
-                    # poses the stored frames were chained from, captured
-                    # BEFORE on_new_submap), so any in-call m2m/transfer
-                    # nudge of the newest submap is already folded into
-                    # newp — adopting ref_pose first and then remapping
-                    # would double-apply that nudge and leave the
-                    # trajectory tail off by the transfer amount
-                    for s, newp in zip(backend.submaps, new_poses):
-                        mask = frame_submap[:seg_end] == s.sid
-                        if not mask.any():
-                            continue
-                        corr = newp @ np.linalg.inv(old_poses[s.sid])
-                        poses[:seg_end][mask] = np.einsum(
-                            "ij,njk->nik", corr, poses[:seg_end][mask])
-                    cur_pose = poses[seg_end - 1]
-                else:
-                    # no PGO this submap: the adjacent-edge map2map
-                    # refinement may still have nudged the newest submap
-                    # pose — adopt it for the trigger frame and continue
-                    # odometry from it (`mulls_slam.cpp:489-498`)
-                    ref_pose = backend.submaps[-1].pose
-                    if not np.allclose(ref_pose, poses[last]):
-                        cur_pose = ref_pose
-                        poses[last] = ref_pose
+                sm = _boundary(lmap, seg_end)
                 if (self.snapshot_dir
                         and sm.sid % max(self.snapshot_every, 1) == 0):
                     import os
@@ -302,6 +310,15 @@ class SlamPipeline:
             if w_err:
                 raise w_err[0]
 
+        # end-of-run flush of the open span as a final (partial) submap.
+        # The reference leaves the tail frames outside any submap and
+        # recovers them in its end-of-run post-processing
+        # (`mulls_slam.cpp:823-876`: final frame push + framewise/inner
+        # PGO); here the flush runs the regular boundary ladder once more
+        # so a revisit inside the last open span still earns its loop edge
+        if backend.submaps and backend._accu_frames > 0 and i > 0:
+            _boundary(state.local_map, i)
+
         if self.checkpoint_path:
             # final checkpoint: the completed session is the input artifact
             # for multi-session merging (`backend/merge.py`)
@@ -317,13 +334,34 @@ class SlamPipeline:
         return res
 
     def refine(self, res: OdometryResult) -> np.ndarray:
-        """Inner-submap end-of-run refinement (`mulls_slam.cpp:876-927`):
-        redistribute the back-end's corrections over each submap's
-        interior frames.  Returns (and stores) the refined poses."""
+        """End-of-run refinement, reference method dispatch:
+        --framewise_pgo_on (method 1, `mulls_slam.cpp:835-875`) optimizes
+        ONE graph over ALL frame nodes — adjacent odometry edges plus the
+        submap loop-closure edges remapped to their submaps' last frames —
+        via the matrix-free CG solver; otherwise (method 2,
+        `mulls_slam.cpp:876-927`) the inner-submap pass redistributes the
+        back-end's corrections over each submap's interior frames.
+        Returns (and stores) the refined poses."""
         from mulls_tpu.backend.refine import inner_submap_refine
         backend = getattr(res, "backend", None)
         if backend is None or len(backend.submaps) < 1:
             return res.poses
+        if self.cfg.submap.framewise_pgo_on:
+            from mulls_tpu.backend.refine import framewise_pgo
+            from mulls_tpu.backend.submap import REG_EDGE
+            # REG edges act between the submaps' last frames
+            # (`mulls_slam.cpp:856-864` last_frame_index remap)
+            fe = {s.sid: s.frame_end for s in backend.submaps}
+            reg = [(fe[e.i], fe[e.j], e.T, e.info)
+                   for e in backend.edges if e.kind == REG_EDGE
+                   and e.i in fe and e.j in fe]
+            if reg:
+                res.poses = framewise_pgo(
+                    getattr(res, "poses_odom", res.poses), reg,
+                    iterations=self.cfg.submap.pgo_max_iter)
+                return res.poses
+            # no loop edges: fall through to the inner-submap pass
+            # (the reference keeps pose_init on failure, :869-871)
         bounds = [(s.frame_begin, s.frame_end) for s in backend.submaps]
         res.poses = inner_submap_refine(
             res.poses, res.poses_odom, bounds,

@@ -260,3 +260,49 @@ def test_icp_add_length_recovers_wide_offset(scene, rng):
     assert int(widened.process_code) == 1
     np.testing.assert_allclose(np.asarray(widened.transform)[:3, 3],
                                T_exp[:3, 3], atol=0.05)
+
+
+def test_normal_shooting_changes_correspondences_and_converges(scene, rng):
+    """--normal_shooting_on must actually change the correspondence choice
+    (`cregistration.hpp:1729-1737`) — it was a silent config no-op once —
+    and the ICP must still converge with it enabled."""
+    from mulls_tpu.frontend.icp import _find_corres
+    from mulls_tpu.core.cloud import FeatureCloud
+
+    # target: sloped plane; the query normals are VERTICAL (noisy source
+    # normals in a real scan) — on a slope the Euclidean 1-NN picks the
+    # perpendicular foot while the vertical shooting ray hits the surface
+    # ~h*sin(t)*cos(t) away, more than one grid spacing here
+    gx, gy = np.meshgrid(np.linspace(-10, 10, 60), np.linspace(-10, 10, 60))
+    tgt_xyz = np.stack([gx.ravel(), gy.ravel(), 0.3 * gx.ravel()], -1)
+    nrm = np.tile(np.array([-0.3, 0.0, 1.0]) / np.hypot(0.3, 1.0),
+                  (tgt_xyz.shape[0], 1))
+    tgt = _cloud(tgt_xyz, nrm, 4096, rng)
+    q_xyz = jnp.asarray(tgt_xyz[::7] + np.array([0.0, 0.0, 1.5]),
+                        jnp.float32)
+    q_dir = jnp.asarray(np.tile([0.0, 0.0, 1.0], (q_xyz.shape[0], 1)),
+                        jnp.float32)
+    q_mask = jnp.ones(q_xyz.shape[0], bool)
+
+    c_nn = _find_corres(q_xyz, q_dir, q_mask, tgt, 2.0, 0.7,
+                        normal_check=True, normal_shooting=False)
+    c_ns = _find_corres(q_xyz, q_dir, q_mask, tgt, 2.0, 0.7,
+                        normal_check=True, normal_shooting=True)
+    diff = int(np.sum(np.asarray(c_nn.t_idx) != np.asarray(c_ns.t_idx)))
+    assert diff > 0, "normal shooting chose identical correspondences"
+    assert int(np.sum(np.asarray(c_ns.valid))) > 0
+
+    # end-to-end: the flag-enabled ICP still recovers a known transform
+    cfg = RegConfig(used_feature_type="111000", normal_shooting_on=True)
+    T_gt = se3.make_transform(jnp.asarray([0.3, -0.2, 0.05], jnp.float32),
+                              jnp.asarray([0.01, -0.01, 0.02], jnp.float32))
+    target = _clouds_from_scene(scene, rng)
+    source = _clouds_from_scene(scene, rng, T=T_gt)
+    for n in source:
+        source[n] = source[n].replace(intensity=target[n].intensity)
+    res = jax.jit(mm_lls_icp, static_argnames=("cfg", "max_iter"))(
+        source, target, cfg, jnp.eye(4), max_iter=20)
+    T_expected = np.asarray(se3.inverse(T_gt))
+    assert int(res.process_code) == 1
+    np.testing.assert_allclose(np.asarray(res.transform)[:3, 3],
+                               T_expected[:3, 3], atol=0.05)

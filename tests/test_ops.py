@@ -295,3 +295,73 @@ def test_ground_normal_ransac_small_cells(rng):
     # zero-normal "plane" counted every point as an inlier
     assert outlier_keep < 0.35, outlier_keep
     assert outlier_keep < inlier_keep / 2.0
+
+
+def test_knn_class_counts_tracks_exact_topk(rng):
+    """Regression for the statistical radius-shrink redesign of the
+    reference's radiusSearch(max_nn=K) (`pca.hpp:326`): on a representative
+    mixed-density cloud the descriptor-level category percentages must stay
+    close to the EXACT K-nearest-cap statistics — within the tolerance NCC
+    matching absorbs (the 11-dim comparison vector is correlated, not
+    exact-matched, `cregistration.hpp:444-515`)."""
+    # support cloud: dense urban patch + sparse patch, 4 interleaved classes
+    n_dense, n_sparse = 6000, 800
+    dense = np.stack([rng.uniform(0, 20, n_dense),
+                      rng.uniform(0, 20, n_dense),
+                      rng.uniform(0, 6, n_dense)], -1)
+    sparse = np.stack([rng.uniform(40, 80, n_sparse),
+                      rng.uniform(40, 80, n_sparse),
+                      rng.uniform(0, 6, n_sparse)], -1)
+    p_xyz = np.concatenate([dense, sparse]).astype(np.float32)
+    n_p = len(p_xyz)
+    cls = rng.integers(0, 4, n_p)
+    onehot = np.eye(4, dtype=np.float32)[cls]
+    inten = rng.uniform(0, 255, n_p).astype(np.float32)
+
+    n_q = 256
+    qi = rng.choice(n_p, n_q, replace=False)
+    q_xyz = p_xyz[qi] + rng.normal(scale=0.05, size=(n_q, 3)).astype(np.float32)
+    q_mask = np.ones(n_q, bool)
+    p_mask = np.ones(n_p, bool)
+
+    radius, k = 2.0, 50
+    close_r2 = 0.64 * radius ** 2
+
+    got = jax.tree.map(np.asarray, nbr.knn_class_counts(
+        jnp.asarray(q_xyz), jnp.asarray(q_mask), jnp.asarray(p_xyz),
+        jnp.asarray(p_mask), radius, k, jnp.asarray(onehot),
+        jnp.asarray(inten), close_r2))
+
+    # exact reference: K nearest within radius, close/far at close_r2
+    d2 = ((q_xyz[:, None, :] - p_xyz[None, :, :]) ** 2).sum(-1)
+    sims = []
+    counts_ok = 0
+    for q in range(n_q):
+        in_r = np.where(d2[q] <= radius ** 2)[0]
+        keep = in_r[np.argsort(d2[q][in_r])][:k]
+        close = keep[d2[q][keep] <= close_r2]
+        far = keep[d2[q][keep] > close_r2]
+        exact = np.concatenate([onehot[close].sum(0) if len(close) else
+                                np.zeros(4),
+                                onehot[far].sum(0) if len(far) else
+                                np.zeros(4)])
+        approx = np.concatenate([got["close_counts"][q],
+                                 got["far_counts"][q]])
+        # descriptor uses PERCENTAGES: normalize both count vectors
+        if exact.sum() < 5:  # too few neighbors for a stable keypoint
+            continue
+        counts_ok += 1
+        e = exact / exact.sum()
+        a = approx / max(approx.sum(), 1e-6)
+        sims.append(float(np.dot(e, a)
+                          / max(np.linalg.norm(e) * np.linalg.norm(a),
+                                1e-9)))
+    sims = np.asarray(sims)
+    assert counts_ok > 150
+    # NCC tolerance: the 8-dim percentage vectors stay strongly correlated
+    assert np.median(sims) > 0.97, f"median cosine {np.median(sims):.3f}"
+    assert (sims > 0.85).mean() > 0.9, \
+        f"only {(sims > 0.85).mean():.2%} of keypoints within tolerance"
+    # the K cap must actually bind in the dense region
+    dense_q = np.where(q_xyz[:, 0] < 30)[0]
+    assert got["count"][dense_q].max() <= 2.5 * k
