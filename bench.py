@@ -237,33 +237,48 @@ def main():
     if warm_ok:
         _phase("e2e", E2E_BUDGET, e2e_demo)
 
-    # --- phase 3: end-to-end SLAM on the 360-frame synthetic loop world --
-    # real ~280 m rectangular loop, DEFAULT min_submap_id_diff: loop edges
-    # here close a genuine revisit, and the drift improvement vs pure
-    # odometry is reported alongside the rate
+    # --- phase 3: end-to-end SLAM on the synthetic loop world ------------
+    # ~226 m rectangular loop driven for 2.3 laps at DEFAULT
+    # min_submap_id_diff: a same-spot revisit pair one lap apart is only
+    # ~6 submap ids apart (below the default gate of 8 — the gate is sized
+    # for KITTI-scale loops), so the honest default-gap loop closure needs
+    # the 2-laps-apart revisit.  Loop edges here close a genuine revisit;
+    # the drift improvement vs pure odometry is reported alongside the rate
     def e2e_loop():
         import sys
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
         from synthetic_accuracy_bench import (build_world, loop_trajectory,
                                               simulate)
-        n_frames = 360
+        n_frames = 650
         rng = np.random.default_rng(7)
         world = build_world(rng)
         world_g = loop_trajectory(n_frames)
         gt = np.einsum("ij,njk->nik", np.linalg.inv(world_g[0]), world_g)
-        sim = [simulate(world, world_g[k], cfg.shapes.n_raw, rng)
-               for k in range(n_frames)]
+        seeds = rng.integers(0, 2 ** 31, n_frames)
+
+        class _Lazy:
+            """Frames simulated on access (the pipeline's prefetch thread):
+            generation rides off the critical path like disk decode, and
+            650 pre-staged 131k-pt frames (~1.8 GB) never sit in RAM."""
+
+            def __len__(self):
+                return n_frames
+
+            def __getitem__(self, k):
+                return simulate(world, world_g[k], cfg.shapes.n_raw,
+                                np.random.default_rng(seeds[k]))
+
         cfg3 = dataclasses.replace(cfg2, submap=dataclasses.replace(
             cfg2.submap, submap_accu_tran=30.0, submap_accu_frame=150,
             min_submap_id_diff=MullsConfig().submap.min_submap_id_diff))
         # warm-up: front-end/back-end programs for cfg3 (same HLO as cfg2
         # -> persistent-cache hits; this absorbs the retrace)
         SlamPipeline(cfg3, segment=16).run(
-            type("L", (list,), {})(sim[:48]))
+            type("L", (list,), {})(_Lazy()[k] for k in range(48)))
         pipe = SlamPipeline(cfg3, segment=16)
         t0 = time.perf_counter()
-        res = pipe.run(type("L", (list,), {})(sim))
+        res = pipe.run(_Lazy())
         pipe.refine(res)
         dt = time.perf_counter() - t0
         be = res.backend
@@ -272,7 +287,10 @@ def main():
         OUT["slam_loop_edges"] = sum(1 for e in be.edges if e.kind == 2)
         end_gap = float(np.linalg.norm(res.poses[-1, :3, 3]
                                        - gt[-1, :3, 3]))
+        gap_odom = float(np.linalg.norm(res.poses_odom[-1, :3, 3]
+                                        - gt[-1, :3, 3]))
         OUT["slam_loop_end_gap_m"] = round(end_gap, 3)
+        OUT["slam_loop_end_gap_odom_m"] = round(gap_odom, 3)
 
     if warm_ok:
         _phase("loop", LOOP_BUDGET, e2e_loop)

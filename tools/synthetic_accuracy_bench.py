@@ -251,8 +251,15 @@ def loop_trajectory(n_frames: int, step: float = 0.8):
     return np.stack(poses)
 
 
-def simulate(world, pose, n_raw, rng, sensor_range=65.0):
-    """One scan: crop world to range, downsample, sensor-frame + noise."""
+def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0):
+    """One scan: crop world to range, downsample, sensor-frame + noise.
+
+    ``beams > 0`` applies a scanner elevation-beam mask (evenly spaced
+    beams from -24.8 to +2 deg, HDL/OS1-style): only points within a
+    fraction of the beam spacing of some beam elevation survive, so a
+    16-beam profile sees the genuinely sparse vertical structure the
+    16/32/128-beam reference flagfiles were tuned for — not just fewer
+    uniform random points."""
     inv = np.linalg.inv(pose)
     # cheap pre-crop in world coords before the exact transform
     c = pose[:3, 3]
@@ -261,7 +268,33 @@ def simulate(world, pose, n_raw, rng, sensor_range=65.0):
     w = world[rough]
     local = w @ inv[:3, :3].T + inv[:3, 3]
     r = np.linalg.norm(local[:, :2], axis=1)
-    sel = np.where((r < sensor_range) & (r > 1.8))[0]
+    keep = (r < sensor_range) & (r > 1.8)
+    if beams:
+        # rotating-scanner geometry: one return per (elevation beam,
+        # azimuth bin) — a 16-beam profile genuinely sees ~16 x 2048
+        # points with sparse vertical structure, not just fewer uniform
+        # random samples
+        el = np.degrees(np.arctan2(local[:, 2], r))
+        lo_deg, hi_deg = -24.8, 2.0
+        spacing = (hi_deg - lo_deg) / max(beams - 1, 1)
+        b = np.clip(np.round((el - lo_deg) / spacing), 0, beams - 1)
+        on_beam = keep & (np.abs(el - (lo_deg + b * spacing))
+                          < 0.35 * spacing) & (el >= lo_deg - 0.5) \
+            & (el <= hi_deg + 0.5)
+        az_bins = 2048
+        az = np.floor((np.arctan2(local[:, 1], local[:, 0]) + np.pi)
+                      / (2 * np.pi) * az_bins).astype(np.int64) % az_bins
+        cell = b.astype(np.int64) * az_bins + az
+        # nearest return wins inside each cell (scanner returns the first
+        # surface hit along the ray)
+        order = np.lexsort((r, cell))
+        oc = cell[order]
+        first = np.ones(len(order), bool)
+        first[1:] = oc[1:] != oc[:-1]
+        hit = np.zeros(len(keep), bool)
+        hit[order[first & on_beam[order]]] = True
+        keep = hit
+    sel = np.where(keep)[0]
     if len(sel) > n_raw:
         sel = rng.choice(sel, n_raw, replace=False)
     pts = local[sel] + 0.01 * rng.normal(size=(len(sel), 3))
@@ -305,6 +338,10 @@ def main():
     ap.add_argument("--seed", type=int, default=7,
                     help="world/noise seed — accuracy must hold across "
                          "seeds untouched by tuning (docs/ACCURACY.md)")
+    ap.add_argument("--beams", type=int, default=0,
+                    help="scanner elevation-beam count (0 = dense "
+                         "uniform sampling); matches the 16/32/64/128 "
+                         "sensor-profile flagfiles")
     ap.add_argument("--fog", action="store_true",
                     help="degrade frames 25%%-40%% of the run to 20 m "
                          "sensor range (fog bank): odometry drifts there, "
@@ -347,7 +384,8 @@ def main():
         simulate(np.concatenate([world, dyn[k]]) if dyn is not None
                  else world,
                  world_g[k], cfg.shapes.n_raw, rng,
-                 sensor_range=(20.0 if fog_lo <= k < fog_hi else 65.0))
+                 sensor_range=(20.0 if fog_lo <= k < fog_hi else 65.0),
+                 beams=args.beams)
         for k in range(args.frames))
     if args.fog:
         print(f"[synthbench] fog bank on frames {fog_lo}-{fog_hi}",
@@ -355,6 +393,7 @@ def main():
     print(f"[synthbench] simulated in {time.time() - t0:.1f}s", flush=True)
 
     out = {"frames": args.frames, "world": args.world, "seed": args.seed,
+           "beams": args.beams, "config": os.path.basename(args.config or ""),
            "fog": [fog_lo, fog_hi] if args.fog else None,
            "loop_length_m": float(np.sum(np.linalg.norm(
                np.diff(gt[:, :3, 3], axis=0), axis=1)))}
