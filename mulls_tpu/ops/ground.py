@@ -101,19 +101,80 @@ def fast_ground_filter(
     # points participating in the ground grid stats: below the pre-gate
     below = in_grid & (z <= non_ground_z)
     cell_stat = jnp.where(below, cell, num_cells)
-
-    seg_min_z = jax.ops.segment_min(
-        jnp.where(below, z, _BIG), cell_stat, num_segments=num_cells + 1)[:num_cells]
-    # count + range sum fused into one segment reduction (segment ops are
-    # the slow class here; the reference uses the FIRST point's range per
-    # cell, `cfilter.hpp:1735-1738` — we use the mean)
     rng_all = jnp.linalg.norm(xyz, axis=1)
-    below_f = below.astype(jnp.float32)
-    cnt_rng = jax.ops.segment_sum(
-        jnp.stack([below_f, jnp.where(below, rng_all, 0.0)], -1),
-        cell_stat, num_segments=num_cells + 1)[:num_cells]
-    seg_cnt = cnt_rng[:, 0].astype(jnp.int32)
-    cell_dist = cnt_rng[:, 1] / jnp.maximum(cnt_rng[:, 0], 1.0)
+
+    # --- stage 1: ONE fused int32 segment_max -------------------------------
+    # Segment reductions cost ~1.9 ms each at 131k updates regardless of
+    # width (docs/PERF.md economics), so the round-2 layout of
+    # segment_min(z) + segment_sum(count,range) + segment_max(picks) is
+    # re-fused here into ONE width-26 segment_max:
+    #   cols 0..23  floor-biased RANSAC member picks (see below)
+    #   col  24     quantized -z        -> per-cell min_z  (61 um res)
+    #   col  25     quantized -range    -> per-cell min range (the
+    #               reference keys the rate off the FIRST point's range,
+    #               `cfilter.hpp:1735-1738` — min range is as faithful as
+    #               the round-2 mean and needs no sum)
+    # The per-cell occupancy count moves to a one-hot MATMUL raster (MXU,
+    # ~0.1 ms) instead of a segment_sum.
+    #
+    # Floor-biased picks: the reference samples RANSAC members from the
+    # in-band set (z - min_z < thre), but min_z comes from this very op —
+    # instead each pick key maximizes (thre * u - z) within the cell
+    # (u ~ U[0,1)), so only points within ~thre of the CELL's own floor
+    # can win while the choice among them stays random: band sampling
+    # without the band gate, one op earlier.
+    kg, ku1, ku2 = jax.random.split(key, 3)
+    n_hyp = 8  # vectorized equivalent of the reference's 20 seq. iters
+    n_pick = 3 * n_hyp
+    assert n <= (1 << 17), "packed picks assume point index < 2^17"
+    # cheap per-(point, pick) integer hash: RANSAC member sampling needs
+    # decorrelation, not cryptographic quality — threefry bits for
+    # [n, 24] cost ~1.1 ms/frame on this chip, the murmur3-style
+    # finalizer below is pure VPU elementwise (~0.05 ms)
+    salt = jax.random.bits(ku2, (1, n_pick), jnp.uint32)
+    h = (jnp.arange(n, dtype=jnp.uint32)[:, None]
+         * jnp.uint32(2654435761) + salt)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    u01 = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # [n, 24]
+    z_hi = jnp.max(jnp.where(below, z, -_BIG))
+    z_lo = jnp.min(jnp.where(below, z, _BIG))
+    pick_band = cfg.gf_in_grid_h_thre
+    span = pick_band + jnp.maximum(z_hi - z_lo, 1e-3)
+    qscale = 16382.0 / span
+    pick_v = jnp.clip((pick_band * u01 + (z_hi - z[:, None]))
+                      * qscale, 0.0, 16383.0).astype(jnp.int32)
+    idx_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    pick_key = (pick_v << 17) | idx_col  # [n, 24]
+    qz = jnp.clip((z_hi - z) * 8192.0, 0.0, 2.0e9).astype(jnp.int32)
+    r_hi = jnp.max(jnp.where(below, rng_all, 0.0)) + 1.0
+    qr = jnp.clip((r_hi - rng_all) * 8192.0, 0.0, 2.0e9).astype(jnp.int32)
+    fused = jnp.concatenate([pick_key, qz[:, None], qr[:, None]], axis=1)
+    fused = jnp.where(below[:, None], fused, -1)
+    cmax = jax.ops.segment_max(fused, cell_stat,
+                               num_segments=num_cells + 1)[:num_cells]
+    seg_min_z = jnp.where(cmax[:, 24] >= 0,
+                          z_hi - cmax[:, 24].astype(jnp.float32) / 8192.0,
+                          _BIG)
+    cell_dist = jnp.where(cmax[:, 25] >= 0,
+                          r_hi - cmax[:, 25].astype(jnp.float32) / 8192.0,
+                          0.0)
+
+    # occupancy count as a one-hot matmul raster: count[r, c] =
+    # (row_onehot * below)^T @ col_onehot — [G, n] @ [n, G] on the MXU
+    # (one-hots are 0/1-exact in bf16; the MXU accumulates in f32, so
+    # counts are exact).  ~0.1 ms where a segment_sum costs ~1.9.
+    iota_g = jnp.arange(g, dtype=jnp.int32)
+    row_oh = ((row[:, None] == iota_g[None]) & below[:, None]
+              ).astype(jnp.bfloat16)
+    col_oh = (col[:, None] == iota_g[None]).astype(jnp.bfloat16)
+    cnt_grid = jax.lax.dot_general(
+        row_oh, col_oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [G(row), G(col)]
+    seg_cnt = jnp.round(cnt_grid).astype(jnp.int32).reshape(-1)
 
     min_z = seg_min_z.reshape(g, g)
     neigh_min_z = _min_pool3(min_z)
@@ -164,7 +225,6 @@ def fast_ground_filter(
             return w * w * base_rate + 1.0
         return jnp.zeros_like(dist) + base_rate
 
-    kg, ku1, ku2 = jax.random.split(key, 3)
     high_intensity = intensity > cfg.intensity_thre_nonground
 
     # the non-ground rate may be a traced scalar (self-adaptive update,
@@ -192,46 +252,20 @@ def fast_ground_filter(
         # threshold, then PCL's optimizeCoefficients = LS refit on the
         # consensus set).  All cells and all hypotheses run at once.
         #
-        # Segment reductions are the slow op class on TPU (~2 ms each at
-        # 131k updates, nearly independent of width — width is free, op
-        # COUNT is the cost).  This block therefore uses exactly TWO:
-        #   1. one int32 segment_max of (rand14 << 17 | point_idx) packed
-        #      keys — all 3*n_hyp random member picks at once, the picked
-        #      xyz recovered by unpacking the winner index and gathering
-        #      (replaces the float segment_max + the coordinate-extraction
-        #      segment_sum of the round-1 version);
-        #   2. one segment_sum of width n_hyp*11 carrying, for EVERY
-        #      hypothesis, its inlier count AND the 10 LS-refit moment
-        #      features of its consensus set (plus one fallback block over
-        #      the full band) — hypothesis scoring and refit fused.
+        # The 3*n_hyp random member picks already rode stage 1's fused
+        # segment_max (floor-biased keys, cols 0..23); the ONLY segment op
+        # in this block is the width-90 segment_sum carrying, for EVERY
+        # hypothesis, its inlier count AND the 10 LS-refit moment features
+        # of its consensus set (plus one fallback block over the full
+        # band) — hypothesis scoring and refit fused.
         gm = band
         gcell = jnp.where(gm, cell, num_cells)
         ransac_thre = 0.3 * cfg.gf_in_grid_h_thre
-        n_hyp = 8  # vectorized equivalent of the reference's 20 seq. iters
         cell_of = jnp.clip(cell, 0, num_cells - 1)
 
-        n_pick = 3 * n_hyp
-        assert n <= (1 << 17), "packed picks assume point index < 2^17"
-        # cheap per-(point, pick) integer hash: RANSAC member sampling needs
-        # decorrelation, not cryptographic quality — threefry bits for
-        # [n, 24] cost ~1.1 ms/frame on this chip, the murmur3-style
-        # finalizer below is pure VPU elementwise (~0.05 ms)
-        salt = jax.random.bits(ku2, (1, n_pick), jnp.uint32)
-        h = (jnp.arange(n, dtype=jnp.uint32)[:, None]
-             * jnp.uint32(2654435761) + salt)
-        h = h ^ (h >> 16)
-        h = h * jnp.uint32(0x7FEB352D)
-        h = h ^ (h >> 15)
-        h = h * jnp.uint32(0x846CA68B)
-        h = h ^ (h >> 16)
-        rand14 = (h >> 18).astype(jnp.int32)
-        idx_col = jnp.arange(n, dtype=jnp.int32)[:, None]
-        key = (rand14 << 17) | idx_col
-        key = jnp.where(gm[:, None], key, -1)
-        cmax = jax.ops.segment_max(key, gcell,
-                                   num_segments=num_cells + 1)[:num_cells]
-        pick_ok = cmax >= 0  # [C, n_pick] cell had any band point
-        pick_idx = jnp.where(pick_ok, cmax & ((1 << 17) - 1), 0)
+        pick_cols = cmax[:, :n_pick]
+        pick_ok = pick_cols >= 0  # [C, n_pick] cell had any below point
+        pick_idx = jnp.where(pick_ok, pick_cols & ((1 << 17) - 1), 0)
         pts = xyz[pick_idx.reshape(-1)].reshape(num_cells, n_pick, 3)
         p1 = pts[:, 0 * n_hyp:1 * n_hyp]  # [C, n_hyp, 3]
         p2 = pts[:, 1 * n_hyp:2 * n_hyp]

@@ -73,9 +73,17 @@ def main():
     bk.pair_bev = timed("pair_bev", bk.pair_bev)
     bk.bank_store = timed("bank_store", bk.bank_store)
 
+    # link health check: one tiny device round trip, timed
+    import jax
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones((8,)) * 2.0)
+    print(f"link rtt probe: {time.perf_counter() - t0:.3f}s", flush=True)
+
     # warm-up exactly like the bench (boundary programs compile here)
     t0 = time.perf_counter()
-    SlamPipeline(cfg2, segment=16).run(_Playlist(ds, idx_list[:176]))
+    SlamPipeline(cfg2, segment=16).run(_Playlist(ds, idx_list[:176]),
+                                       progress=True)
     print(f"warmup(176f): {time.perf_counter() - t0:.1f}s", flush=True)
     for k in list(SPANS):
         SPANS[f"warm_{k}"] = SPANS.pop(k)
