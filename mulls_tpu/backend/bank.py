@@ -142,6 +142,24 @@ def unpack_loop(row):
     return d
 
 
+# m2m fine-ICP source budget: the local-map submap clouds carry ~20k
+# points per class; using them as the ICP SOURCE multiplies every
+# NN-search matmul ~8x over the frame ICP (which registers ~2.6k down
+# points) for no accuracy gain — correspondence count saturates in the
+# low thousands.  The TARGET stays full (NN coverage).  Sources at or
+# under the cap are untouched.
+M2M_SRC_CAP = 4096
+
+
+def _stride_src(clouds):
+    """Static stride-subsample every feature class to <= M2M_SRC_CAP."""
+    out = {}
+    for name, c in clouds.items():
+        s = max(1, c.xyz.shape[0] // M2M_SRC_CAP)
+        out[name] = jax.tree.map(lambda x: x[::s], c) if s > 1 else c
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_iter"))
 def pair_m2m(bank: SubmapBank, i, j, T_guess, cfg: MullsConfig,
              max_iter: int) -> jnp.ndarray:
@@ -149,7 +167,7 @@ def pair_m2m(bank: SubmapBank, i, j, T_guess, cfg: MullsConfig,
     adjacent-edge refinement (`mulls_slam.cpp:477-498`) and the rare BEV
     retry both ride this one compiled program.  Returns [REG_ROW]."""
     tgt = _slot(bank.clouds, i)
-    src = _slot(bank.clouds, j)
+    src = _stride_src(_slot(bank.clouds, j))
     res = mm_lls_icp(src, tgt, cfg.reg, T_guess, max_iter=max_iter)
     return _pack_reg(res)
 
@@ -178,7 +196,8 @@ def loop_eval_batch(bank: SubmapBank, old_idx, j, T_guess, use_coarse,
     [K, LOOP_ROW].
     """
     s = cfg.submap
-    src = _slot(bank.clouds, j)
+    src_full = _slot(bank.clouds, j)
+    src = _stride_src(src_full)
     src_desc = _slot(bank.desc, j)
     keys = jax.random.split(key, old_idx.shape[0])
 
@@ -190,9 +209,12 @@ def loop_eval_batch(bank: SubmapBank, old_idx, j, T_guess, use_coarse,
                       fixed_num_corr=s.best_n_feature_match_on,
                       corr_num=s.feature_corr_num,
                       reciprocal=s.reciprocal_feature_match_on)
-        p_src = src["vertex"].xyz[m.s_idx]
+        # NCC putative pairs index the FULL vertex cloud (descriptor rows
+        # align with it); only the fine-ICP source below is strided
+        p_src = src_full["vertex"].xyz[m.s_idx]
         p_tgt = tgt["vertex"].xyz[m.t_idx]
-        pm = m.valid & src["vertex"].mask[m.s_idx] & tgt["vertex"].mask[m.t_idx]
+        pm = (m.valid & src_full["vertex"].mask[m.s_idx]
+              & tgt["vertex"].mask[m.t_idx])
         nb = cfg.feature.cloud_pca_neigh_r
         if s.teaser_based_global_registration_on:
             cres = cr.coarse_reg_gnc(

@@ -378,6 +378,28 @@ def wrong_edge_check(graph: PoseGraph, node_t, node_q,
     return bad
 
 
+@partial(jax.jit, static_argnames=("iterations", "equal_weight",
+                                   "diagonal_information", "robust_kernel"))
+def optimize_and_check(graph: PoseGraph, iterations: int = 20,
+                       equal_weight: bool = False,
+                       diagonal_information: bool = False,
+                       robust_kernel: bool = False,
+                       tran_thre: float = 2.0,
+                       rot_thre_deg: float = 10.0) -> jnp.ndarray:
+    """PGO solve + wrong-edge check in ONE dispatch, packed into ONE
+    [7M + 1 + E] f32 vector (t[M,3] | q[M,4] | chi2 | bad[E]) so the host
+    pays a single D2H round trip per submap boundary instead of four —
+    on the tunneled chip each separate fetch costs a full link RTT."""
+    t, q, chi2 = optimize_pose_graph(
+        graph, iterations=iterations, equal_weight=equal_weight,
+        diagonal_information=diagonal_information,
+        robust_kernel=robust_kernel)
+    bad = wrong_edge_check(graph, t, q, tran_thre, rot_thre_deg)
+    return jnp.concatenate([t.reshape(-1), q.reshape(-1),
+                            chi2.reshape(1),
+                            bad.astype(jnp.float32)])
+
+
 def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
                                 lm_lambda: float = 1e-4,
                                 axis: str = "data",

@@ -412,6 +412,13 @@ class SlamBackend:
                                   local_map.clouds, local_map.vertex_desc)
         self._slot_sid[slot] = sid
         lb = bk.local_bounds(local_map.clouds)  # device [6], fetched lazily
+        try:
+            # start the 6-float D2H now so the first consumer (the next
+            # boundary's IoU gate / post-m2m compute_bounds) finds the
+            # value already on host instead of paying a tunnel RTT
+            lb.copy_to_host_async()
+        except AttributeError:
+            pass
         sm = Submap(sid=sid, pose=pose.copy(), clouds=None, descriptors=None,
                     frame_begin=frame_begin, frame_end=frame_end,
                     slot=slot, fetch=self._make_fetch(slot), local_bbx=lb)
@@ -935,14 +942,20 @@ class SlamBackend:
             robust = False
         else:
             robust = s_cfg.robust_kernel_on
-        t, q, chi2 = optimize_pose_graph(
+        # ONE dispatch + ONE packed fetch for solve + wrong-edge check
+        # (separate t/q/chi2/bad fetches each pay a tunnel RTT)
+        from mulls_tpu.backend.pgo import optimize_and_check
+        mp = int(graph.node_t.shape[0])
+        packed = np.asarray(optimize_and_check(
             graph, iterations=s_cfg.pgo_max_iter,
             equal_weight=s_cfg.equal_weight_on,
             diagonal_information=s_cfg.diagonal_information_matrix_on,
-            robust_kernel=robust)
-        bad = np.asarray(wrong_edge_check(graph, t, q,
-                                          s_cfg.wrong_edge_tran_thre,
-                                          s_cfg.wrong_edge_rot_thre_deg))
+            robust_kernel=robust,
+            tran_thre=s_cfg.wrong_edge_tran_thre,
+            rot_thre_deg=s_cfg.wrong_edge_rot_thre_deg))
+        t = packed[:3 * mp].reshape(mp, 3)
+        q = packed[3 * mp:7 * mp].reshape(mp, 4)
+        bad = packed[7 * mp + 1:] > 0.5
         reg_idx = [k for k, ed in enumerate(active) if ed.kind == REG_EDGE]
         n_bad_reg = int(bad[reg_idx].sum()) if reg_idx else 0
         n_reg = len(reg_idx)
