@@ -15,13 +15,29 @@ Two modes, mirroring the reference:
 
 from __future__ import annotations
 
+import contextlib
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mulls_tpu.backend.pgo import PoseGraph, optimize_pose_graph
 from mulls_tpu.core import se3
+
+
+def _on_host_cpu():
+    """Run the end-of-run refinement graphs on the HOST CPU backend.
+
+    These are tiny chain graphs (tens of nodes); on the tunneled TPU each
+    per-submap solve pays a link round trip, and every new span shape
+    triggers a ~30-100 s REMOTE compile — measured 102 s of 'refine' on a
+    13 s run (tools/perf_probe_e2e.py, round 3).  On the host CPU the
+    compile is local seconds and the solve microseconds."""
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # no cpu backend registered (unusual)
+        return contextlib.nullcontext()
 
 
 def _poses_to_tq(poses: np.ndarray):
@@ -68,6 +84,13 @@ def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
       boundaries: (frame_begin, frame_end) inclusive ranges per submap.
     Returns refined [N,4,4] poses.
     """
+    with _on_host_cpu():
+        return _inner_submap_refine(poses, poses_odom, boundaries,
+                                    iterations, t_limit, r_limit)
+
+
+def _inner_submap_refine(poses, poses_odom, boundaries, iterations,
+                         t_limit, r_limit) -> np.ndarray:
     out = poses.copy()
     for lo, hi in boundaries:
         if hi - lo < 2:
@@ -109,6 +132,13 @@ def framewise_pgo(poses_odom: np.ndarray,
                   iterations: int = 25) -> np.ndarray:
     """Whole-trajectory PGO: adjacent odometry edges + frame-level loop
     registration edges (i, j, T_ij [4,4], info [6,6])."""
+    with _on_host_cpu():
+        return _framewise_pgo(poses_odom, reg_edges, fixed_first,
+                              iterations)
+
+
+def _framewise_pgo(poses_odom, reg_edges, fixed_first, iterations
+                   ) -> np.ndarray:
     n = len(poses_odom)
     t, q = _poses_to_tq(poses_odom)
     ei, et, eq = _adjacent_edges(poses_odom, 0, n - 1)

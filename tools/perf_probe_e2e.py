@@ -82,8 +82,9 @@ def main():
 
     # warm-up exactly like the bench (boundary programs compile here)
     t0 = time.perf_counter()
-    SlamPipeline(cfg2, segment=16).run(_Playlist(ds, idx_list[:176]),
-                                       progress=True)
+    pipe_w = SlamPipeline(cfg2, segment=16)
+    res_w = pipe_w.run(_Playlist(ds, idx_list[:176]), progress=True)
+    pipe_w.refine(res_w)
     print(f"warmup(176f): {time.perf_counter() - t0:.1f}s", flush=True)
     for k in list(SPANS):
         SPANS[f"warm_{k}"] = SPANS.pop(k)
