@@ -76,30 +76,69 @@ class MultiSeqPipeline:
         states = jax.device_put(states, jax.tree.map(lambda _: sharding,
                                                      states))
 
+        # producer thread stages + uploads the NEXT segment's [S, K] batch
+        # while the device runs the current one — the serial S x K
+        # pack_raw_host loop was a host stall between every dispatch
+        import queue as _queue
+        import threading as _threading
+
+        stop = _threading.Event()
+        staged: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def _producer():
+            last = [None] * S
+            i0 = 0
+            try:
+                while i0 < n_max and not stop.is_set():
+                    k = min(self.segment, n_max - i0)
+                    batches = []
+                    for s, ds in enumerate(datasets):
+                        frames = []
+                        for j in range(i0, i0 + k):
+                            if j < lens[s]:
+                                last[s] = pack_raw_host(
+                                    ds[j], with_ts=cfg.map
+                                    .motion_compensation_method == 1)
+                            frames.append(last[s])
+                        frames += [frames[-1]] * (self.segment - k)
+                        batches.append(jax.tree.map(
+                            lambda *xs: np.stack(xs), *frames))
+                    raws = jax.device_put(jax.tree.map(
+                        lambda *xs: np.stack(xs), *batches), sharding)
+                    staged.put((k, raws))
+                    i0 += k
+            except BaseException as e:  # surface in the consumer
+                staged.put(e)
+            staged.put(None)
+
+        th = _threading.Thread(target=_producer, daemon=True)
+        th.start()
         vec_parts = []
         i = 0
-        last = [None] * S
-        while i < n_max:
-            k = min(self.segment, n_max - i)
-            batches = []
-            for s, ds in enumerate(datasets):
-                frames = []
-                for j in range(i, i + k):
-                    if j < lens[s]:
-                        last[s] = pack_raw_host(
-                            ds[j],
-                            with_ts=cfg.map.motion_compensation_method == 1)
-                    frames.append(last[s])
-                frames += [frames[-1]] * (self.segment - k)
-                batches.append(jax.tree.map(lambda *xs: np.stack(xs),
-                                            *frames))
-            raws = jax.device_put(
-                jax.tree.map(lambda *xs: np.stack(xs), *batches), sharding)
-            states, vecs = self._scan(states, raws)
-            vec_parts.append(vecs[:, :k])
-            i += k
-            if progress:
-                print(f"[multiseq {i}/{n_max}] x{S} sequences", flush=True)
+        try:
+            while True:
+                item = staged.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                k, raws = item
+                states, vecs = self._scan(states, raws)
+                vec_parts.append(vecs[:, :k])
+                i += k
+                if progress:
+                    print(f"[multiseq {i}/{n_max}] x{S} sequences",
+                          flush=True)
+        finally:
+            stop.set()
+            # the producer may be blocked on a full queue: drain until it
+            # exits (its end-of-stream None also needs a slot)
+            while th.is_alive():
+                try:
+                    staged.get_nowait()
+                except _queue.Empty:
+                    pass
+                th.join(timeout=0.05)
 
         jax.block_until_ready(states.pose)
         # ONE D2H for the whole run (see pipeline/odometry.py)
