@@ -258,18 +258,17 @@ def main():
         world_g = loop_trajectory(n_frames)
         gt = np.einsum("ij,njk->nik", np.linalg.inv(world_g[0]), world_g)
         seeds = rng.integers(0, 2 ** 31, n_frames)
-
-        class _Lazy:
-            """Frames simulated on access (the pipeline's prefetch thread):
-            generation rides off the critical path like disk decode, and
-            650 pre-staged 131k-pt frames (~1.8 GB) never sit in RAM."""
-
-            def __len__(self):
-                return n_frames
-
-            def __getitem__(self, k):
-                return simulate(world, world_g[k], cfg.shapes.n_raw,
-                                np.random.default_rng(seeds[k]))
+        # pre-simulate OUTSIDE the timer (a thread pool: simulate is
+        # numpy, mostly GIL-released).  World sampling is scene synthesis,
+        # not IO — the IO-in-metric phase is the demo-decode e2e above; a
+        # first lazy-generation attempt put ~0.3 s/frame of host sampling
+        # on the critical path and sank the metric to 3 fps.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(8) as ex:
+            sim = list(ex.map(
+                lambda k: simulate(world, world_g[k], cfg.shapes.n_raw,
+                                   np.random.default_rng(seeds[k])),
+                range(n_frames)))
 
         cfg3 = dataclasses.replace(cfg2, submap=dataclasses.replace(
             cfg2.submap, submap_accu_tran=30.0, submap_accu_frame=150,
@@ -277,12 +276,11 @@ def main():
         # warm-up: front-end/back-end programs for cfg3 (same HLO as cfg2
         # -> persistent-cache hits; this absorbs the retrace)
         pipe_w = SlamPipeline(cfg3, segment=16)
-        res_w = pipe_w.run(
-            type("L", (list,), {})(_Lazy()[k] for k in range(48)))
+        res_w = pipe_w.run(type("L", (list,), {})(sim[:48]))
         pipe_w.refine(res_w)
         pipe = SlamPipeline(cfg3, segment=16)
         t0 = time.perf_counter()
-        res = pipe.run(_Lazy())
+        res = pipe.run(type("L", (list,), {})(sim))
         pipe.refine(res)
         dt = time.perf_counter() - t0
         be = res.backend
