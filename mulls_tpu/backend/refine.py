@@ -83,22 +83,28 @@ def inner_submap_refine(poses: np.ndarray, poses_odom: np.ndarray,
         trivially consistent).
       boundaries: (frame_begin, frame_end) inclusive ranges per submap.
     Returns refined [N,4,4] poses.
+
+    Runs entirely on the host through the numpy twin solver
+    (`backend/np_pgo.py`) — these are tiny one-shot chain graphs whose
+    span shapes vary run to run, and in this container every XLA compile
+    (CPU backend included) routes through a remote AOT service: a single
+    cold span shape cost 520 s measured.  No compile step may exist on
+    this path.
     """
-    with _on_host_cpu():
-        return _inner_submap_refine(poses, poses_odom, boundaries,
-                                    iterations, t_limit, r_limit)
-
-
-def _inner_submap_refine(poses, poses_odom, boundaries, iterations,
-                         t_limit, r_limit) -> np.ndarray:
+    from mulls_tpu.backend import np_pgo
     out = poses.copy()
     for lo, hi in boundaries:
         if hi - lo < 2:
             continue
         sub = poses[lo:hi + 1]
-        t, q = _poses_to_tq(sub)
-        ei, et, eq = _adjacent_edges(poses_odom, lo, hi)
+        t = sub[:, :3, 3]
+        q = np_pgo.quat_from_rotation(sub[:, :3, :3])
         m = hi - lo + 1
+        T_rel = np.einsum("nij,njk->nik",
+                          np.linalg.inv(poses_odom[lo:hi]),
+                          poses_odom[lo + 1:hi + 1])
+        et = T_rel[:, :3, 3]
+        eq = np_pgo.quat_from_rotation(T_rel[:, :3, :3])
         fixed = np.zeros(m, bool)
         fixed[0] = fixed[-1] = True
         # ceres-style growing bounds from the fixed start frame
@@ -106,23 +112,17 @@ def _inner_submap_refine(poses, poses_odom, boundaries, iterations,
         # a non-positive limit leaves that component unbounded
         tl = rl = None
         if t_limit > 0 or r_limit > 0:
-            k = np.arange(m, dtype=np.float32)
-            tl = jnp.asarray(k * t_limit if t_limit > 0
-                             else np.full(m, np.inf, np.float32))
-            rl = jnp.asarray(k * r_limit if r_limit > 0
-                             else np.full(m, np.inf, np.float32))
-        graph = PoseGraph(
-            node_t=jnp.asarray(t), node_q=jnp.asarray(q),
-            edge_i=jnp.asarray(ei - lo, jnp.int32),
-            edge_j=jnp.asarray(ei - lo + 1, jnp.int32),
-            edge_t=jnp.asarray(et), edge_q=jnp.asarray(eq),
-            edge_info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32),
-                                       (m - 1, 6, 6)),
-            edge_mask=jnp.ones(m - 1, bool),
-            fixed=jnp.asarray(fixed),
-            t_limit=tl, r_limit=rl)
-        nt, nq, _ = optimize_pose_graph(graph, iterations=iterations)
-        out[lo:hi + 1] = _tq_to_poses(np.asarray(nt), np.asarray(nq))
+            k = np.arange(m, dtype=np.float64)
+            tl = (k * t_limit if t_limit > 0 else np.full(m, np.inf))
+            rl = (k * r_limit if r_limit > 0 else np.full(m, np.inf))
+        nt, nq, _ = np_pgo.optimize_pose_graph_np(
+            t, q, np.arange(m - 1), np.arange(1, m), et, eq,
+            np.broadcast_to(np.eye(6), (m - 1, 6, 6)), fixed,
+            t_limit=tl, r_limit=rl, iterations=iterations)
+        seg = np.tile(np.eye(4), (m, 1, 1))
+        seg[:, :3, :3] = np_pgo.rotation_from_quat(nq)
+        seg[:, :3, 3] = nt
+        out[lo:hi + 1] = seg
     return out
 
 
