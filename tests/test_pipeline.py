@@ -260,3 +260,36 @@ def test_stage_timing_report_columns():
     assert (t[:, 0] > 0).all(), t  # feature
     assert (t[:, 1] > 0).all(), t  # map
     assert (t[:, 2] > 0).all(), t  # reg
+
+
+def test_end_of_run_flush_creates_final_submap(rng):
+    """The open span at end of run is flushed as a final (partial) submap
+    through the regular boundary ladder (`mulls_slam.cpp:823-876`
+    end-of-run post-processing) — a revisit in the last open span must be
+    able to earn its loop edge."""
+    import __graft_entry__ as ge
+
+    cfg = ge._small_cfg()
+    cfg = cfg.replace(submap=cfg.submap.__class__(
+        loop_closure_detection_on=True,
+        submap_accu_tran=1e9, submap_accu_rot=1e9, submap_accu_frame=6,
+        min_submap_id_diff=99))  # no loop search: isolate the flush
+    world = _loop_world(rng)
+    n_frames = 16  # 2 full submaps of 6 + an open span of 4
+    gt = []
+    for k in range(n_frames):
+        t = jnp.asarray([0.6 * k, 0.0, 0.0], jnp.float32)
+        gt.append(np.asarray(se3.make_transform(
+            t, jnp.zeros(3, jnp.float32)), np.float64))
+    frames = _ListDataset(
+        _simulate_scan(world, g, cfg.shapes.n_raw, 35.0, rng) for g in gt)
+    res = SlamPipeline(cfg, segment=2).run(frames)
+    be = res.backend
+    # frame 0 never accumulates -> boundaries at frames 7 and 13, open
+    # span 14..15 flushed as the final submap
+    assert len(be.submaps) == 3, be.submaps
+    assert be.submaps[-1].frame_begin == 14
+    assert be.submaps[-1].frame_end == n_frames - 1
+    # and carries its adjacent edge from the boundary ladder
+    kinds = [e.kind for e in be.edges]
+    assert kinds.count(1) == 2

@@ -109,6 +109,10 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             print(f"[matrix] {tag} TIMEOUT", flush=True)
             results[tag] = {"error": "timeout"}
+            # a killed TPU process leaves the tunnel session wedged for the
+            # next ~2 min; starting immediately would cascade the failures
+            # (.claude/skills/verify "wedge after kill")
+            time.sleep(150)
         print(f"[matrix] {tag} done in {time.time() - t0:.0f}s", flush=True)
 
     # markdown table
