@@ -155,3 +155,69 @@ if __name__ == "__main__":
     timeit("compact 20k -> 4096", st_compact_20k_4k)
     timeit("topk_score 20k -> 4096", st_topk_score)
     timeit("nms 4096 (x1)", st_nms)
+
+
+# --- ground-filter sub-stage op-class probes (round-3 redesign) ----------
+_n = shapes.n_raw
+_g = shapes.grid_dim
+_cells = _g * _g
+_cell = jnp.asarray(
+    np.random.default_rng(0).integers(0, _cells, _n), jnp.int32)
+_below = jnp.asarray(np.random.default_rng(1).random(_n) < 0.7)
+_cs = jnp.where(_below, _cell, _cells)
+
+
+def st_seg_max26(c, k):
+    v = (raw.xyz[:, 0:1] * 100 + c).astype(jnp.int32) + jnp.arange(
+        26, dtype=jnp.int32)[None, :]
+    m = jax.ops.segment_max(jnp.where(_below[:, None], v, -1), _cs,
+                            num_segments=_cells + 1)
+    return jnp.sum(m[:_cells, 0].astype(jnp.float32))
+
+
+def st_raster_count(c, k):
+    row = _cell // _g
+    col = _cell % _g
+    iota = jnp.arange(_g, dtype=jnp.int32)
+    row_oh = ((row[:, None] == iota[None]) & _below[:, None]
+              ).astype(jnp.bfloat16)
+    col_oh = (col[:, None] == iota[None]).astype(jnp.bfloat16)
+    cnt = jax.lax.dot_general(row_oh, col_oh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return jnp.sum(cnt) + c * 0
+
+
+def st_seg_sum90(c, k):
+    blocks = (raw.xyz[:, 0:1] + c) * jnp.ones((1, 90), jnp.float32)
+    s = jax.ops.segment_sum(blocks, _cs, num_segments=_cells + 1)
+    return jnp.sum(s[:_cells, 0])
+
+
+def st_hash_picks(c, k):
+    salt = jnp.arange(24, dtype=jnp.uint32)[None, :] + c.astype(jnp.uint32)
+    h = (jnp.arange(_n, dtype=jnp.uint32)[:, None]
+         * jnp.uint32(2654435761) + salt)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    u01 = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    pick_v = jnp.clip((0.4 * u01 + raw.xyz[:, 2:3]) * 1000.0,
+                      0.0, 16383.0).astype(jnp.int32)
+    key2 = (pick_v << 17) | jnp.arange(_n, dtype=jnp.int32)[:, None]
+    return jnp.sum(key2.astype(jnp.float32) * 1e-12)
+
+
+def st_gather32(c, k):
+    tab = jnp.ones((_cells, 32), jnp.float32) * c
+    out = tab[jnp.clip(_cell, 0, _cells - 1)]
+    return jnp.sum(out[:, 0])
+
+
+if __name__ == "__main__":
+    timeit("seg_max int32 w26", st_seg_max26)
+    timeit("raster count (bf16 mxu)", st_raster_count)
+    timeit("seg_sum f32 w90", st_seg_sum90)
+    timeit("hash picks [n,24]", st_hash_picks)
+    timeit("gather [n,32] from cells", st_gather32)
