@@ -112,44 +112,70 @@ class SlamPipeline:
                 print(f"[mulls_tpu] resumed at frame {i} "
                       f"({len(backend.submaps)} submaps)")
 
-        def _boundary(lmap, seg_end):
-            """Submap boundary back-end (`mulls_slam.cpp:451-628`): snapshot
-            the local map as a new submap, run the adjacent/loop/PGO ladder,
-            and fold any pose corrections back into the trajectory."""
-            nonlocal cur_pose, submap_open_begin
+        def _boundary_start(lmap, seg_end):
+            """Synchronous part of the submap boundary: snapshot the local
+            map into the bank (one async dispatch) + span bookkeeping."""
+            nonlocal submap_open_begin
             last = seg_end - 1
             sm = backend.add_submap(lmap, poses[last],
                                     submap_open_begin, last)
             frame_submap[submap_open_begin:seg_end] = sm.sid
             submap_open_begin = seg_end
             old_poses = np.stack([s.pose for s in backend.submaps])
+            return sm, old_poses
+
+        def _boundary_finish(old_poses, b_end):
+            """The expensive boundary ladder (`mulls_slam.cpp:451-628`):
+            adjacent m2m + loop candidates + PGO.  Runs on the boundary
+            thread; returns a correction record for _apply_boundary."""
             new_poses = backend.on_new_submap(self._next_key())
             if new_poses is not None:
-                # rigidly move each submap's frames to its new pose.
-                # The correction is computed against old_poses (the
+                # per-submap rigid corrections against old_poses (the
                 # poses the stored frames were chained from, captured
-                # BEFORE on_new_submap), so any in-call m2m/transfer
-                # nudge of the newest submap is already folded into
-                # newp — adopting ref_pose first and then remapping
-                # would double-apply that nudge and leave the
-                # trajectory tail off by the transfer amount
-                for s, newp in zip(backend.submaps, new_poses):
-                    mask = frame_submap[:seg_end] == s.sid
+                # BEFORE on_new_submap) — any in-call m2m/transfer nudge
+                # of the newest submap is already folded into new_poses
+                corr = np.stack([newp @ np.linalg.inv(old_poses[s.sid])
+                                 for s, newp in zip(backend.submaps,
+                                                    new_poses)])
+                return ("pgo", b_end, corr)
+            # no PGO: the adjacent-edge m2m refinement may still have
+            # nudged the newest submap pose (`mulls_slam.cpp:489-498`)
+            return ("nudge", b_end, backend.submaps[-1].pose.copy())
+
+        def _apply_boundary(res, now_end):
+            """Fold a finished boundary's corrections into the trajectory.
+            Frames chained AFTER the boundary (while its ladder ran on the
+            boundary thread) composed from the uncorrected tail pose, so
+            the newest submap's correction applies to them too — the
+            reference applies PGO results with exactly this kind of lag
+            (`mulls_slam.cpp:614-623`)."""
+            nonlocal cur_pose
+            kind, b_end, data = res
+            if kind == "pgo":
+                for sid in range(len(data)):
+                    mask = frame_submap[:b_end] == sid
                     if not mask.any():
                         continue
-                    corr = newp @ np.linalg.inv(old_poses[s.sid])
-                    poses[:seg_end][mask] = np.einsum(
-                        "ij,njk->nik", corr, poses[:seg_end][mask])
-                cur_pose = poses[seg_end - 1]
+                    poses[:b_end][mask] = np.einsum(
+                        "ij,njk->nik", data[sid], poses[:b_end][mask])
+                tail_corr = data[-1]
+                if now_end > b_end:
+                    poses[b_end:now_end] = np.einsum(
+                        "ij,njk->nik", tail_corr, poses[b_end:now_end])
+                cur_pose = tail_corr @ cur_pose
             else:
-                # no PGO this submap: the adjacent-edge map2map
-                # refinement may still have nudged the newest submap
-                # pose — adopt it for the trigger frame and continue
-                # odometry from it (`mulls_slam.cpp:489-498`)
-                ref_pose = backend.submaps[-1].pose
+                last = b_end - 1
+                ref_pose = data
                 if not np.allclose(ref_pose, poses[last]):
-                    cur_pose = ref_pose
-                    poses[last] = ref_pose
+                    corr = ref_pose @ np.linalg.inv(poses[last])
+                    poses[last:now_end] = np.einsum(
+                        "ij,njk->nik", corr, poses[last:now_end])
+                    cur_pose = corr @ cur_pose
+
+        def _boundary(lmap, seg_end):
+            """Synchronous full boundary (staged path + end-of-run flush)."""
+            sm, old_poses = _boundary_start(lmap, seg_end)
+            _apply_boundary(_boundary_finish(old_poses, seg_end), seg_end)
             return sm
 
         def _process(entry):
@@ -158,13 +184,19 @@ class SlamPipeline:
             the dispatches so the D2H wait overlaps the next segment's
             device compute; there is no host->device feedback, corrections
             live on the host pose array)."""
-            nonlocal cur_pose, cur_pose_odom, submap_open_begin
+            nonlocal cur_pose, cur_pose_odom, submap_open_begin, pending
             i0, k_real, vecs_dev, lmap = entry
             seg_end = i0 + k_real
             t0 = time.perf_counter()
             vecs_np = np.asarray(vecs_dev[:k_real])  # true completion wait
             timings[i0:seg_end, 2] = (time.perf_counter() - t0) * 1e3 \
                 / k_real
+            # a boundary ladder that finished while this segment's vecs
+            # were in flight: fold its corrections in BEFORE chaining the
+            # new frames (they must compose from the corrected tail)
+            if pending is not None and pending.done():
+                _apply_boundary(pending.result(), i0)
+                pending = None
             T_rels, seg_sigma, seg_codes, seg_conf, _ = StepOut.unpack_vecs(
                 vecs_np)
 
@@ -182,10 +214,22 @@ class SlamPipeline:
                 if k > 0:
                     backend.accumulate(T, confidence=seg_conf[k - i0])
 
-            # back-end at segment boundary (`mulls_slam.cpp:451-628`)
+            # back-end at segment boundary (`mulls_slam.cpp:451-628`).
+            # The expensive ladder runs on the boundary thread so the
+            # segment worker keeps draining vecs fetches meanwhile; the
+            # NEXT boundary waits for it (strict back-end ordering)
             tb0 = time.perf_counter()
             if backend.should_segment():
-                sm = _boundary(lmap, seg_end)
+                if pending is not None:
+                    _apply_boundary(pending.result(), seg_end)
+                    pending = None
+                sm, old_poses = _boundary_start(lmap, seg_end)
+                if boundary_pool is not None:
+                    pending = boundary_pool.submit(_boundary_finish,
+                                                   old_poses, seg_end)
+                else:
+                    _apply_boundary(_boundary_finish(old_poses, seg_end),
+                                    seg_end)
                 if (self.snapshot_dir
                         and sm.sid % max(self.snapshot_every, 1) == 0):
                     import os
@@ -211,6 +255,17 @@ class SlamPipeline:
                 print(f"[{seg_end}/{n}] submaps={len(backend.submaps)} "
                       f"edges={len(backend.edges)} "
                       f"sigma={sigmas[-1]:.4f}", flush=True)
+
+        # in-flight boundary ladder (a Future) + its executor; the staged
+        # path keeps boundaries synchronous (boundary_pool stays None)
+        pending = None
+        boundary_pool = None
+
+        def _drain_pending(now_end):
+            nonlocal pending
+            if pending is not None:
+                _apply_boundary(pending.result(), now_end)
+                pending = None
 
         if staged is not None:
             while i < n:
@@ -264,6 +319,11 @@ class SlamPipeline:
             # confined; the bounded queue gives backpressure.
             jobs: "_queue.Queue" = _queue.Queue(maxsize=4)
             w_err: List[BaseException] = []
+            # boundary ladders run on their own thread so the segment
+            # worker keeps draining fetches during loop-closure work
+            from concurrent.futures import ThreadPoolExecutor
+            boundary_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mulls-boundary")
 
             def _worker():
                 while True:
@@ -299,6 +359,7 @@ class SlamPipeline:
                         jobs.join()  # drain: checkpoint must match i
                         if w_err:
                             break
+                        _drain_pending(i)  # corrections must be folded in
                         from mulls_tpu.pipeline.checkpoint import \
                             save_checkpoint
                         save_checkpoint(self.checkpoint_path, state, i,
@@ -307,6 +368,10 @@ class SlamPipeline:
             finally:
                 jobs.put(None)
                 th.join()
+                try:
+                    _drain_pending(i)
+                finally:
+                    boundary_pool.shutdown(wait=True)
             if w_err:
                 raise w_err[0]
 
