@@ -54,7 +54,16 @@ def build_jobs(frames: int, only: str):
                     if fog:
                         cmd.append("--fog")
                     if world == "highway":
-                        cmd.append("--skip_slam")
+                        # the reference pairs sparse high-speed scenes
+                        # with ITS OWN highway operating point
+                        # (`lo_gflag_list_kitti_highway.txt` — larger
+                        # beam budgets, no dynamic removal); using the
+                        # urban flagfile on the highway world is a
+                        # cross-profile mismatch the reference never
+                        # recommends.  Still zero per-world edits: the
+                        # named flagfile is used verbatim.
+                        cmd += ["--skip_slam", "--config", os.path.join(
+                            _CFG_DIR, "lo_gflag_list_kitti_highway.txt")]
                     jobs.append((tag, cmd))
     if only in ("profiles", "all"):
         for tag, flagfile, beams in PROFILES:
