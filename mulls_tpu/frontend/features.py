@@ -305,6 +305,12 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
 
     def sharpened(cloud: FeatureCloud, budget: int, k, sector: bool
                   ) -> FeatureCloud:
+        # a zero budget disables the class (e.g. `--beam_down_fixed_num=0`
+        # in `lo_gflag_list_64.txt`): keep a capacity-1 fully-masked cloud
+        # so every downstream gather stays well-formed
+        if budget <= 0:
+            idx, valid = compact_topk_random(cloud.mask, 1, k)
+            return cloud.gather(idx, jnp.zeros_like(valid))
         keep = cloud.mask
         if fcfg.sharpen_with_nms_on:
             keep = nms_ops.non_max_suppress(cloud.xyz, cloud.strength,
@@ -325,8 +331,10 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
                              keys[9], sector=True)
     down["roof"] = sharpened(full["roof"], fcfg.roof_down_fixed_num,
                              keys[10], sector=False)
-    gd_idx, gd_valid = compact_topk_random(full["ground"].mask,
-                                           fcfg.ground_down_fixed_num, keys[11])
+    gd_idx, gd_valid = compact_topk_random(
+        full["ground"].mask, max(fcfg.ground_down_fixed_num, 1), keys[11])
+    if fcfg.ground_down_fixed_num <= 0:
+        gd_valid = jnp.zeros_like(gd_valid)
     down["ground"] = full["ground"].gather(gd_idx, gd_valid)
     down["vertex"] = full["vertex"]
 
