@@ -253,6 +253,13 @@ class MapConfig:
     dynamic_removal_radius: float = 30.0
     dynamic_dist_thre_min: float = 0.3
     near_dist_thre: float = 0.03
+    # moving-object step-sanity veto (TPU-build extension; see
+    # `pipeline/odometry.py _register_stage`): a healthy-looking solve
+    # deviating from the warm motion-model prior by more than this many
+    # meters/frame is dynamic-suspect and gets re-registered with
+    # dynamic-suspect sources removed.  0 disables.  0.6 m/frame = 6 m/s^2
+    # of acceleration at 10 Hz — beyond any vehicle.
+    dynamic_step_sanity_thre: float = 0.6
     # TPU-build robustness extensions (not in the reference; rationale in
     # docs/ACCURACY.md "corner-exit failure anatomy").  Both key off a
     # confidence DROP relative to the run's own EMA baseline — absolute

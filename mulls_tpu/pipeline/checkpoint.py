@@ -76,7 +76,8 @@ def load_checkpoint(path: str, backend=None) -> Optional[dict]:
     if hasattr(state, "nonground_rate"):
         import jax.numpy as jnp
         for name, default in (("add_length", jnp.float32(0.0)),
-                              ("conf_ema", jnp.float32(-1.0))):
+                              ("conf_ema", jnp.float32(-1.0)),
+                              ("model_age", jnp.int32(99))):
             if getattr(state, name, None) is None:
                 object.__setattr__(state, name, default)
     payload["state"] = jax.device_put(state)

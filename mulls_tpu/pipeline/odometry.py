@@ -64,6 +64,10 @@ class SlamState:
     # baseline; drops relative to it arm the recovery gate and pause
     # dynamic removal (cfg.map.*_confidence_drop).  Negative = unseeded
     conf_ema: jnp.ndarray = None
+    # frames since the last HEALTHY registration (0 after a code-1 frame);
+    # the motion-model prior is trusted for the dynamic-suspect veto only
+    # while this is small
+    model_age: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -103,13 +107,17 @@ def init_state(cfg: MullsConfig) -> SlamState:
     if cfg.map.scan_to_scan_module_on:
         from mulls_tpu.core.cloud import FeatureCloud
         f = cfg.feature
+        # capacities mirror the extraction side, where a zero down budget
+        # (a disabled class, e.g. `--beam_down_fixed_num=0` in
+        # `lo_gflag_list_64.txt`) keeps one fully-masked row — the scan
+        # carry structure must match
         prev = {
-            "ground": FeatureCloud.empty(f.ground_down_fixed_num),
-            "pillar": FeatureCloud.empty(f.pillar_down_fixed_num),
-            "facade": FeatureCloud.empty(f.facade_down_fixed_num),
-            "beam": FeatureCloud.empty(f.beam_down_fixed_num),
-            "roof": FeatureCloud.empty(f.roof_down_fixed_num),
-            "vertex": FeatureCloud.empty(f.vertex_keep_num),
+            "ground": FeatureCloud.empty(max(1, f.ground_down_fixed_num)),
+            "pillar": FeatureCloud.empty(max(1, f.pillar_down_fixed_num)),
+            "facade": FeatureCloud.empty(max(1, f.facade_down_fixed_num)),
+            "beam": FeatureCloud.empty(max(1, f.beam_down_fixed_num)),
+            "roof": FeatureCloud.empty(max(1, f.roof_down_fixed_num)),
+            "vertex": FeatureCloud.empty(max(1, f.vertex_keep_num)),
         }
     return SlamState(
         local_map=init_local_map(cfg.map),
@@ -121,6 +129,7 @@ def init_state(cfg: MullsConfig) -> SlamState:
         nonground_rate=jnp.float32(cfg.ground.gf_nonground_down_rate),
         add_length=jnp.float32(0.0),
         conf_ema=jnp.float32(-1.0),
+        model_age=jnp.int32(99),
     )
 
 
@@ -177,6 +186,7 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
         guess = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(state.T_prev[:3, 3])
     else:
         guess = jnp.eye(4, dtype=jnp.float32)
+    guess0 = guess  # raw motion-model prior (pre-s2s) for the sanity veto
 
     # optional scan-to-scan pre-registration: refine the motion-model
     # guess against the previous frame's features before scan-to-map
@@ -262,6 +272,58 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
         & (retry.confidence > res.confidence)
     res = jax.tree.map(lambda a, b: jnp.where(take, a, b), retry, res)
 
+    # --- moving-object sanity veto + source-cleaned re-registration ----
+    # A close oncoming mover's points form a CONSISTENT correspondence
+    # bloc onto their own previous position: the solve converges
+    # confidently ~the mover's relative motion away from truth (sigma AND
+    # confidence look healthy — no gate above can see it), poisons the
+    # motion model, and the next frames cascade (dynamic world seed 1009
+    # frames 56-59: 4.7 m acquired in 4 frames).  A healthy-looking step
+    # deviating from the WARM motion-model prior by more than
+    # `dynamic_step_sanity_thre` (0.6 m/frame = 6 m/s of acceleration at
+    # 10 Hz — far beyond any vehicle) is dynamic-suspect: re-register
+    # with suspect sources removed.  Suspects = down points whose 1-NN
+    # residual against the model-aligned local map is beyond
+    # `dynamic_dist_thre_min` — the reference's map-side dynamic gate
+    # (`map_manager.cpp:145-256`) applied to the registration source.
+    sanity_thre = cfg.map.dynamic_step_sanity_thre
+    if cfg.map.map_based_dynamic_removal_on and sanity_thre > 0:
+        from mulls_tpu.ops.neighbors import nearest_neighbor
+        # the prior is trusted while recently confirmed: a persisted
+        # constant-velocity model stays accurate for a few frames through
+        # isolated failures, but after a long blackout a genuinely
+        # different re-acquisition step must not be vetoed
+        model_warm = ((state.frame_idx
+                       > cfg.map.initial_scan2scan_frame_num + 1)
+                      & (state.model_age <= 3))
+        dev0 = jnp.linalg.norm(res.transform[:3, 3] - guess0[:3, 3])
+        suspect_dyn = (model_warm & (res.process_code == 1)
+                       & (dev0 > sanity_thre))
+
+        def _clean_rereg():
+            dyn_gate2 = jnp.float32(cfg.map.dynamic_dist_thre_min) ** 2
+            cleaned = {}
+            for name, c in frame.down.items():
+                s_xyz = se3.transform_points(guess0, c.xyz)
+                m = state.local_map.clouds[name]
+                _, d2 = nearest_neighbor(s_xyz, c.mask, m.xyz, m.mask)
+                cleaned[name] = c.replace(mask=c.mask & (d2 < dyn_gate2))
+            return mm_lls_icp(cleaned, state.local_map.clouds, cfg.reg,
+                              guess0, max_iter=cfg.reg.reg_max_iter_num_s2m,
+                              dis_thre_add=s2m_add)
+
+        res2 = jax.lax.cond(suspect_dyn, _clean_rereg, lambda: res)
+        dev2 = jnp.linalg.norm(res2.transform[:3, 3] - guess0[:3, 3])
+        take2 = suspect_dyn & (res2.process_code == 1) \
+            & (dev2 <= sanity_thre)
+        res = jax.tree.map(lambda a, b: jnp.where(take2, a, b), res2, res)
+        # still deviant after cleaning: hold the motion model this frame
+        # (code -4, a veto — NOT a reconvergence failure)
+        veto = suspect_dyn & ~take2
+        res = res.replace(process_code=jnp.where(
+            veto, jnp.int32(-4), res.process_code))
+        guess = jnp.where(veto, guess0, guess)
+
     failed = res.process_code < 0
     low_conf = res.confidence < cfg.map.add_length_confidence_drop * baseline
     # frame 0 registers against an EMPTY map and always "fails" — that must
@@ -291,7 +353,15 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
         # zero-velocity update (`common_nav.cpp:6-22`)
         stationary = jnp.linalg.norm(T_rel[:3, 3]) < cfg.map.zupt_tran_thre
         T_rel = jnp.where(stationary, T_rel.at[2, 3].set(0.0), T_rel)
-    T_prev_next = jnp.where(first | failed, eye, T_rel)
+    # the model PERSISTS through failures (on a failed frame T_rel is the
+    # prior itself, so the constant-velocity assumption carries):
+    # resetting to identity was wrong physics at speed — it forced an
+    # identity guess + wide gate right after a mover-induced failure,
+    # which is exactly when a close mover can capture the re-acquisition
+    # (dynamic world seed 1009, frame 57)
+    T_prev_next = jnp.where(first, eye, T_rel)
+    model_age_next = jnp.where(res.process_code == 1, jnp.int32(0),
+                               state.model_age + 1)
 
     pose = state.pose @ T_rel
     pose = pose.at[:3, :3].set(se3.orthonormalize(pose[:3, :3]))
@@ -307,7 +377,8 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
                   confidence=res.confidence, iterations=res.iterations,
                   vec=StepOut.pack_vec(T_rel, res.sigma, code,
                                        res.confidence, res.iterations))
-    return out, T_prev_next, add_next, ema_next, dyn_max, removal_ok
+    return (out, T_prev_next, add_next, ema_next, dyn_max, removal_ok,
+            model_age_next)
 
 
 def _map_stage(state: SlamState, frame, T_rel, dyn_max, removal_ok,
@@ -356,7 +427,7 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     key, k_feat, k_map = jax.random.split(state.key, 3)
     frame, ng_rate = _feature_stage(state, raw, cfg, k_feat)
     (out, T_prev_next, add_next, ema_next, dyn_max,
-     removal_ok) = _register_stage(state, frame, cfg)
+     removal_ok, model_age_next) = _register_stage(state, frame, cfg)
     frame = _undistort_frame(frame, out.T_rel, cfg)
     local_map = _map_stage(state, frame, out.T_rel, dyn_max, removal_ok,
                            cfg, k_map)
@@ -368,7 +439,8 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
                                       else None),
                           nonground_rate=ng_rate,
                           add_length=add_next,
-                          conf_ema=ema_next)
+                          conf_ema=ema_next,
+                          model_age=model_age_next)
     return new_state, out
 
 
@@ -412,7 +484,7 @@ def staged_step_fns(cfg: MullsConfig):
             np.asarray(frame.down["ground"].xyz[0, 0])  # force completion
         with timer("reg"):
             (out, T_prev_next, add_next, ema_next, dyn_max,
-             removal_ok) = reg_fn(state, frame)
+             removal_ok, model_age_next) = reg_fn(state, frame)
             np.asarray(out.vec[0])
         with timer("map"):
             frame = und_fn(frame, out.T_rel)
@@ -427,7 +499,8 @@ def staged_step_fns(cfg: MullsConfig):
                                           else None),
                               nonground_rate=ng_rate,
                               add_length=add_next,
-                              conf_ema=ema_next)
+                              conf_ema=ema_next,
+                              model_age=model_age_next)
         return new_state, out
 
     return step

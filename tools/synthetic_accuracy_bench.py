@@ -415,8 +415,23 @@ def main():
         t0 = time.time()
         res_odo = OdometryPipeline(cfg).run(frames)
         out["odometry_fps"] = round(args.frames / (time.time() - t0), 1)
-        bad = [i for i, c in enumerate(res_odo.codes) if c != 1]
+        # -4 = dynamic-suspect veto: the solve was DISCARDED in favor of
+        # the motion model (bounded dead-reckoning through a mover
+        # encounter) — a deliberate hold, not a failed re-convergence;
+        # the cascade policy below applies to hard failures only, while
+        # vetoed stretches are bounded separately
+        bad = [i for i, c in enumerate(res_odo.codes)
+               if c not in (1, -4)]
+        held = [i for i, c in enumerate(res_odo.codes) if c == -4]
         out["odometry_failed_frames"] = len(bad)
+        out["odometry_vetoed_frames"] = len(held)
+        run_len = cur = 0
+        prev = None
+        for i in held:
+            cur = cur + 1 if prev == i - 1 else 1
+            run_len = max(run_len, cur)
+            prev = i
+        assert run_len <= 8, f"mover veto stretch too long: {held}"
         # Health policy: degraded (fog-bank) frames may legitimately fall
         # back to the motion model; the loop's corners run ~5.7 deg/frame
         # yaw — 3-5x harsher than 10 Hz KITTI — so up to a few ISOLATED
