@@ -30,15 +30,24 @@ import numpy as np
 WARMUP_BUDGET = 420.0
 FRONTEND_BUDGET = 700.0
 E2E_BUDGET = 420.0
-LOOP_BUDGET = 420.0
+LOOP_BUDGET = 540.0  # runs the timed loop world TWICE (determinism proof)
 GLOBAL_DEADLINE = WARMUP_BUDGET + FRONTEND_BUDGET + E2E_BUDGET \
-    + LOOP_BUDGET + 150.0  # = 2110
+    + LOOP_BUDGET + 150.0  # = 2230
 
 # the one JSON line, mutated in place by the phases so the watchdog can
 # always print whatever has been measured so far
 OUT = {"metric": "frontend_odometry_fps", "value": 0.0,
        "unit": "frames/s", "vs_baseline": 0.0}
 _DONE = threading.Event()
+
+
+def _unhealthy(codes) -> str:
+    """Diagnosable unhealthy-frame report: the INDICES and codes of the
+    frames whose process code != 1 (a truncated full-codes dump hid WHICH
+    frame failed in BENCH_r03)."""
+    bad = np.nonzero(np.asarray(codes) != 1)[0]
+    return ";".join(f"{i}:{int(codes[i])}" for i in bad[:24]) + \
+        (f" (+{len(bad) - 24} more)" if len(bad) > 24 else "")
 
 
 def _emit_and_exit():
@@ -153,7 +162,7 @@ def main():
             OUT["value"] = round(best, 3)
             OUT["vs_baseline"] = round(best / 10.0, 3)
             if not np.all(codes == 1):
-                OUT["warn_codes"] = str(codes.tolist())[:200]
+                OUT["warn_codes"] = _unhealthy(codes)
 
     if warm_ok:
         _phase("frontend", FRONTEND_BUDGET, frontend)
@@ -234,7 +243,7 @@ def main():
         OUT["slam_e2e_loop_edges"] = sum(1 for e in be.edges
                                          if e.kind == 2)
         if not all(c == 1 for c in res.codes):
-            OUT["slam_e2e_warn"] = "unhealthy codes"
+            OUT["slam_e2e_warn"] = "unhealthy codes " + _unhealthy(res.codes)
 
     if warm_ok:
         _phase("e2e", E2E_BUDGET, e2e_demo)
@@ -278,21 +287,36 @@ def main():
         pipe_w = SlamPipeline(cfg3, segment=16)
         res_w = pipe_w.run(type("L", (list,), {})(sim[:48]))
         pipe_w.refine(res_w)
-        pipe = SlamPipeline(cfg3, segment=16)
-        t0 = time.perf_counter()
-        res = pipe.run(type("L", (list,), {})(sim))
-        pipe.refine(res)
-        dt = time.perf_counter() - t0
-        be = res.backend
-        OUT["slam_loop_fps"] = round(n_frames / dt, 3)
-        OUT["slam_loop_vs_baseline"] = round(n_frames / dt / 10.0, 3)
-        OUT["slam_loop_edges"] = sum(1 for e in be.edges if e.kind == 2)
-        end_gap = float(np.linalg.norm(res.poses[-1, :3, 3]
-                                       - gt[-1, :3, 3]))
-        gap_odom = float(np.linalg.norm(res.poses_odom[-1, :3, 3]
-                                        - gt[-1, :3, 3]))
-        OUT["slam_loop_end_gap_m"] = round(end_gap, 3)
-        OUT["slam_loop_end_gap_odom_m"] = round(gap_odom, 3)
+        # the timed run executes TWICE back-to-back: with the round-4
+        # deterministic one-boundary correction lag the two trajectories
+        # must agree (BENCH_r03's run-to-run 2.088 m vs 0.125 m flip was
+        # the thread-timing-dependent fold) — the delta is reported
+        for attempt in (1, 2):
+            pipe = SlamPipeline(cfg3, segment=16)
+            t0 = time.perf_counter()
+            res = pipe.run(type("L", (list,), {})(sim))
+            pipe.refine(res)
+            dt = time.perf_counter() - t0
+            be = res.backend
+            end_gap = float(np.linalg.norm(res.poses[-1, :3, 3]
+                                           - gt[-1, :3, 3]))
+            gap_odom = float(np.linalg.norm(res.poses_odom[-1, :3, 3]
+                                            - gt[-1, :3, 3]))
+            if attempt == 1:
+                OUT["slam_loop_fps"] = round(n_frames / dt, 3)
+                OUT["slam_loop_vs_baseline"] = round(n_frames / dt / 10.0,
+                                                     3)
+                OUT["slam_loop_edges"] = sum(1 for e in be.edges
+                                             if e.kind == 2)
+                OUT["slam_loop_end_gap_m"] = round(end_gap, 3)
+                OUT["slam_loop_end_gap_odom_m"] = round(gap_odom, 3)
+                if not all(c == 1 for c in res.codes):
+                    OUT["slam_loop_warn"] = "unhealthy codes " \
+                        + _unhealthy(res.codes)
+            else:
+                OUT["slam_loop_end_gap_run2_m"] = round(end_gap, 3)
+                OUT["slam_loop_det_delta_m"] = round(
+                    abs(end_gap - OUT["slam_loop_end_gap_m"]), 4)
 
     if warm_ok:
         _phase("loop", LOOP_BUDGET, e2e_loop)

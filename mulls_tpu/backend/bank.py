@@ -152,10 +152,12 @@ M2M_SRC_CAP = 4096
 
 
 def _stride_src(clouds):
-    """Static stride-subsample every feature class to <= M2M_SRC_CAP."""
+    """Static stride-subsample every feature class to <= M2M_SRC_CAP
+    (ceiling stride, so e.g. 8191 points -> stride 2 -> 4096, never an
+    over-cap 8191)."""
     out = {}
     for name, c in clouds.items():
-        s = max(1, c.xyz.shape[0] // M2M_SRC_CAP)
+        s = max(1, -(-c.xyz.shape[0] // M2M_SRC_CAP))
         out[name] = jax.tree.map(lambda x: x[::s], c) if s > 1 else c
     return out
 

@@ -475,10 +475,19 @@ class SlamBackend:
                 "iterations": int(res.iterations),
                 "info": np.asarray(res.information, np.float64)}
 
-    def on_new_submap(self, key) -> Optional[np.ndarray]:
+    def on_new_submap(self, key, frames_wo_opt: Optional[int] = None
+                      ) -> Optional[np.ndarray]:
         """Runs the reference's per-submap back-end (SURVEY.md §3.2).
         Returns updated submap poses [S, 4, 4] if a PGO ran and was
         accepted, else None.
+
+        ``frames_wo_opt``: caller-snapshotted drift counter.  When the
+        ladder runs on the boundary thread the live ``self.frames_wo_opt``
+        keeps incrementing under it (the segment worker chains new
+        frames); the large-drift gates must read the value AS OF the
+        boundary frame or the search widening becomes thread-timing
+        dependent.  On PGO acceptance the reset is likewise deferred to
+        the caller (`SlamPipeline._apply_boundary`).
 
         Round-3 fast path: with bank-resident submaps the whole
         loop-candidate ladder (NCC match + GNC coarse + double-check +
@@ -489,6 +498,8 @@ class SlamBackend:
         are re-dispatched once from the corrected guess (the reference's
         sequential semantics, recovered in a rare second round)."""
         s_cfg = self.cfg.submap
+        fwo = (self.frames_wo_opt if frames_wo_opt is None
+               else int(frames_wo_opt))
         if len(self.submaps) < 2:
             return None
         a = self.submaps[-2]
@@ -540,13 +551,13 @@ class SlamBackend:
         # large-drift mode (`mulls_slam.cpp:505-511`): after too many frames
         # without a successful PGO, widen the search and drop the IoU gate
         overall = (s_cfg.overall_loop_closure_searching_on
-                   and self.frames_wo_opt > s_cfg.num_frame_thre_large_drift)
+                   and fwo > s_cfg.num_frame_thre_large_drift)
         search_dist = (1.5 if overall else 1.0) * s_cfg.neighbor_search_dist
         iou_gate = 0.0 if overall else s_cfg.min_iou_thre
         if overall:
             self.events.append(
                 f"submap {b.sid}: large-drift loop search "
-                f"({self.frames_wo_opt} frames w/o opt)")
+                f"({fwo} frames w/o opt)")
 
         # loop candidates (`build_pose_graph.cpp:123-209`)
         cands = []
@@ -570,20 +581,24 @@ class SlamBackend:
                     and all(o.slot >= 0 for _, o in sel))
         if use_bank:
             new_reg_edges = self._eval_candidates_banked(sel, b, overall,
-                                                         key)
+                                                         key, fwo)
         else:
-            new_reg_edges = self._eval_candidates_host(sel, b, overall, key)
+            new_reg_edges = self._eval_candidates_host(sel, b, overall, key,
+                                                       fwo)
 
         if new_reg_edges == 0:
             return None
         poses = self.optimize()
         if poses is not None:
             self.cooling = s_cfg.cooling_submap_num
-            self.frames_wo_opt = 0
+            if frames_wo_opt is None:
+                # synchronous caller: reset here (threaded callers defer
+                # the reset to _apply_boundary, see docstring)
+                self.frames_wo_opt = 0
         return poses
 
     def _eval_candidates_banked(self, sel, b: Submap, overall: bool,
-                                key) -> int:
+                                key, fwo: int) -> int:
         """Batched loop-candidate ladder over bank slots: ONE device
         dispatch for all K candidates, host accept logic on packed rows,
         rare re-dispatches for BEV fallback / transfer-corrected retries."""
@@ -643,8 +658,7 @@ class SlamBackend:
                                            "coarse failed, using odometry "
                                            "prediction")
             if (not d["coarse_used"] and transfer_T is None
-                    and self.frames_wo_opt
-                    > s_cfg.num_frame_thre_large_drift):
+                    and fwo > s_cfg.num_frame_thre_large_drift):
                 # large drift + no global registration: the odometry prior
                 # is untrustworthy, skip the candidate (`mulls_slam.cpp:558`)
                 self.events.append(f"loop {old.sid}->{b.sid}: skipped, "
@@ -680,11 +694,13 @@ class SlamBackend:
         return new_reg_edges
 
     def _eval_candidates_host(self, sel, b: Submap, overall: bool,
-                              key) -> int:
+                              key, fwo: Optional[int] = None) -> int:
         """Legacy sequential candidate ladder (host clouds, per-pair
         dispatches) — used when a candidate was evicted from the bank or
         restored from a checkpoint."""
         s_cfg = self.cfg.submap
+        if fwo is None:
+            fwo = self.frames_wo_opt
         new_reg_edges = 0
         transfer_T: Optional[np.ndarray] = None
         for rank, (iou, old) in enumerate(sel):
@@ -727,7 +743,7 @@ class SlamBackend:
                                            "coarse failed, using odometry "
                                            "prediction")
             if (not global_reg_ok and transfer_T is None
-                    and self.frames_wo_opt > s_cfg.num_frame_thre_large_drift):
+                    and fwo > s_cfg.num_frame_thre_large_drift):
                 # large drift + no global registration: the odometry prior
                 # is untrustworthy, skip the candidate (`mulls_slam.cpp:558`)
                 self.events.append(f"loop {old.sid}->{b.sid}: skipped, "

@@ -283,9 +283,13 @@ def extract_features(raw: RawCloud, cfg: MullsConfig, key: jax.Array,
         height=jnp.zeros_like(raw.intensity[gr_idx]),
         ts_ratio=raw.ts_ratio[gr_idx], mask=gr_valid)
 
-    # vertex cloud: stable keypoints, curvature saliency
+    # vertex cloud: stable keypoints, curvature saliency.  A zero keep
+    # budget disables the class like the other zero-budget cases: keep a
+    # capacity-1 fully-masked cloud so the scan carry structure matches
     vx_idx, vx_valid = compact_topk_score(stable, cand_curv,
-                                          fcfg.vertex_keep_num)
+                                          max(fcfg.vertex_keep_num, 1))
+    if fcfg.vertex_keep_num <= 0:
+        vx_valid = jnp.zeros_like(vx_valid)
     gi = cand_idx[vx_idx]  # indices into the (morton-ordered) query subset
     full["vertex"] = FeatureCloud(
         xyz=q_xyz[gi], normal=feats.principal[gi],

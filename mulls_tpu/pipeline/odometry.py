@@ -286,8 +286,14 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     # residual against the model-aligned local map is beyond
     # `dynamic_dist_thre_min` — the reference's map-side dynamic gate
     # (`map_manager.cpp:145-256`) applied to the registration source.
+    # The veto compares against guess0, so it is meaningful only when
+    # guess0 actually encodes predicted motion (initial_guess_mode 2, the
+    # constant-velocity prior).  With mode 0/1 guess0 is identity (or
+    # translation-only), dev0 would equal the full per-frame motion and
+    # every healthy frame on a moving platform would be vetoed.
     sanity_thre = cfg.map.dynamic_step_sanity_thre
-    if cfg.map.map_based_dynamic_removal_on and sanity_thre > 0:
+    if (cfg.map.map_based_dynamic_removal_on and sanity_thre > 0
+            and cfg.map.initial_guess_mode == 2):
         from mulls_tpu.ops.neighbors import nearest_neighbor
         # the prior is trusted while recently confirmed: a persisted
         # constant-velocity model stays accurate for a few frames through

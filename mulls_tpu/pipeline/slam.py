@@ -114,7 +114,11 @@ class SlamPipeline:
 
         def _boundary_start(lmap, seg_end):
             """Synchronous part of the submap boundary: snapshot the local
-            map into the bank (one async dispatch) + span bookkeeping."""
+            map into the bank (one async dispatch) + span bookkeeping.
+            Also snapshots the drift counter (`frames_wo_opt`) so the
+            ladder's large-drift gates read a value fixed at THIS frame
+            index, not whatever the worker has accumulated by the time the
+            boundary thread gets scheduled."""
             nonlocal submap_open_begin
             last = seg_end - 1
             sm = backend.add_submap(lmap, poses[last],
@@ -122,13 +126,14 @@ class SlamPipeline:
             frame_submap[submap_open_begin:seg_end] = sm.sid
             submap_open_begin = seg_end
             old_poses = np.stack([s.pose for s in backend.submaps])
-            return sm, old_poses
+            return sm, old_poses, backend.frames_wo_opt
 
-        def _boundary_finish(old_poses, b_end):
+        def _boundary_finish(old_poses, b_end, frames_wo_opt):
             """The expensive boundary ladder (`mulls_slam.cpp:451-628`):
             adjacent m2m + loop candidates + PGO.  Runs on the boundary
             thread; returns a correction record for _apply_boundary."""
-            new_poses = backend.on_new_submap(self._next_key())
+            new_poses = backend.on_new_submap(self._next_key(),
+                                              frames_wo_opt=frames_wo_opt)
             if new_poses is not None:
                 # per-submap rigid corrections against old_poses (the
                 # poses the stored frames were chained from, captured
@@ -152,6 +157,10 @@ class SlamPipeline:
             nonlocal cur_pose
             kind, b_end, data = res
             if kind == "pgo":
+                # the drift counter resets at the ACCEPTED boundary, so
+                # only the frames chained after it count as un-optimized
+                # (the in-ladder reset raced with the worker's increments)
+                backend.frames_wo_opt = max(now_end - b_end, 0)
                 for sid in range(len(data)):
                     mask = frame_submap[:b_end] == sid
                     if not mask.any():
@@ -174,8 +183,9 @@ class SlamPipeline:
 
         def _boundary(lmap, seg_end):
             """Synchronous full boundary (staged path + end-of-run flush)."""
-            sm, old_poses = _boundary_start(lmap, seg_end)
-            _apply_boundary(_boundary_finish(old_poses, seg_end), seg_end)
+            sm, old_poses, fwo = _boundary_start(lmap, seg_end)
+            _apply_boundary(_boundary_finish(old_poses, seg_end, fwo),
+                            seg_end)
             return sm
 
         def _process(entry):
@@ -191,12 +201,14 @@ class SlamPipeline:
             vecs_np = np.asarray(vecs_dev[:k_real])  # true completion wait
             timings[i0:seg_end, 2] = (time.perf_counter() - t0) * 1e3 \
                 / k_real
-            # a boundary ladder that finished while this segment's vecs
-            # were in flight: fold its corrections in BEFORE chaining the
-            # new frames (they must compose from the corrected tail)
-            if pending is not None and pending.done():
-                _apply_boundary(pending.result(), i0)
-                pending = None
+            # NOTE (round 4): an in-flight boundary ladder is folded ONLY
+            # at the next boundary / checkpoint / end of run — a strict
+            # one-boundary lag like the reference's deterministic PGO
+            # application (`mulls_slam.cpp:614-623`).  Round 3 folded it
+            # opportunistically (`if pending.done()`), which made how many
+            # frames chain before a correction lands — and therefore the
+            # whole trajectory — depend on thread timing (BENCH_r03's
+            # 2.088 m vs the session's 0.125 m on the same seed).
             T_rels, seg_sigma, seg_codes, seg_conf, _ = StepOut.unpack_vecs(
                 vecs_np)
 
@@ -221,15 +233,17 @@ class SlamPipeline:
             tb0 = time.perf_counter()
             if backend.should_segment():
                 if pending is not None:
+                    # deterministic one-boundary lag: block for the
+                    # previous ladder here, whether or not it finished
                     _apply_boundary(pending.result(), seg_end)
                     pending = None
-                sm, old_poses = _boundary_start(lmap, seg_end)
+                sm, old_poses, fwo = _boundary_start(lmap, seg_end)
                 if boundary_pool is not None:
                     pending = boundary_pool.submit(_boundary_finish,
-                                                   old_poses, seg_end)
+                                                   old_poses, seg_end, fwo)
                 else:
-                    _apply_boundary(_boundary_finish(old_poses, seg_end),
-                                    seg_end)
+                    _apply_boundary(
+                        _boundary_finish(old_poses, seg_end, fwo), seg_end)
                 if (self.snapshot_dir
                         and sm.sid % max(self.snapshot_every, 1) == 0):
                     import os
