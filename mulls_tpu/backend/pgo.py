@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mulls_tpu.core import se3
 
@@ -82,7 +83,10 @@ def _edge_residual(dt_a, dq_a, dt_b, dq_b, ta, qa, tb, qb, t_meas, q_meas):
     return jnp.concatenate([r_t, r_q])
 
 
-_zero6 = jnp.zeros((3,), jnp.float32)
+# numpy (not jnp): a module-level device constant would initialize the
+# XLA backend at import time, which breaks `jax.distributed.initialize`
+# (it must run before ANY backend touch — tools/multihost_smoke.py)
+_zero6 = np.zeros((3,), np.float32)
 
 
 def _clamp_to_bounds(t_new, q_new, init_t, init_q, t_limit, r_limit):

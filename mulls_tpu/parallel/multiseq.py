@@ -48,6 +48,27 @@ def stack_states(states: List):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def put_sharded(tree, sharding):
+    """device_put a host pytree with ``sharding`` on every leaf.  Under a
+    multi-PROCESS mesh plain device_put rejects non-addressable shardings;
+    each process instead materializes only its addressable shards from the
+    (identical) global host value via make_array_from_callback."""
+    if jax.process_count() > 1:
+        def one(x):
+            if jnp.issubdtype(getattr(x, "dtype", None),
+                              jax.dtypes.prng_key):
+                h = np.asarray(jax.random.key_data(x))
+                arr = jax.make_array_from_callback(
+                    h.shape, sharding, lambda idx: h[idx])
+                return jax.random.wrap_key_data(
+                    arr, impl=jax.random.key_impl(x))
+            h = np.asarray(x)
+            return jax.make_array_from_callback(
+                h.shape, sharding, lambda idx: h[idx])
+        return jax.tree.map(one, tree)
+    return jax.device_put(tree, jax.tree.map(lambda _: sharding, tree))
+
+
 class MultiSeqPipeline:
     """Runs S sequences in lockstep segments, sequences sharded over the
     mesh.  S must be a multiple of the mesh size; shorter sequences idle by
@@ -73,8 +94,7 @@ class MultiSeqPipeline:
         states = stack_states([init_state(cfg.replace(seed=cfg.seed + s))
                                for s in range(S)])
         sharding = NamedSharding(self.mesh, P("data"))
-        states = jax.device_put(states, jax.tree.map(lambda _: sharding,
-                                                     states))
+        states = put_sharded(states, sharding)
 
         # producer thread stages + uploads the NEXT segment's [S, K] batch
         # while the device runs the current one — the serial S x K
@@ -103,7 +123,7 @@ class MultiSeqPipeline:
                         frames += [frames[-1]] * (self.segment - k)
                         batches.append(jax.tree.map(
                             lambda *xs: np.stack(xs), *frames))
-                    raws = jax.device_put(jax.tree.map(
+                    raws = put_sharded(jax.tree.map(
                         lambda *xs: np.stack(xs), *batches), sharding)
                     staged.put((k, raws))
                     i0 += k
@@ -141,8 +161,18 @@ class MultiSeqPipeline:
                 th.join(timeout=0.05)
 
         jax.block_until_ready(states.pose)
-        # ONE D2H for the whole run (see pipeline/odometry.py)
-        vecs = np.asarray(jnp.concatenate(vec_parts, axis=1))  # [S, N, 16]
+        # ONE D2H for the whole run (see pipeline/odometry.py).  Under a
+        # multi-PROCESS mesh the concatenated result is not fully
+        # addressable from any one host — allgather it first (the [S,N,16]
+        # packed vecs are a few hundred KB; this is the only cross-host
+        # transfer of the whole run)
+        cat = jnp.concatenate(vec_parts, axis=1)  # [S, N, 16]
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            vecs = np.asarray(
+                multihost_utils.process_allgather(cat, tiled=True))
+        else:
+            vecs = np.asarray(cat)
         results = []
         for s in range(S):
             T_rels, sig, cod, _, _ = StepOut.unpack_vecs(vecs[s, :lens[s]])
