@@ -89,6 +89,18 @@ class Submap:
     # --- lazy host materialization ------------------------------------
     def _materialize(self):
         if self._clouds is None and self._fetch is not None:
+            # off-critical-path consumers (snapshot thread, checkpoints)
+            # fetch from the live bank, which the worker thread donates
+            # into at every boundary (`bank_store`); a fetch that caught
+            # the old buffers mid-donation raises "Array has been
+            # deleted" — re-read the (new) bank handle and retry
+            import time as _time
+            for attempt in range(4):
+                try:
+                    self._clouds, self._descriptors = self._fetch()
+                    return
+                except RuntimeError:
+                    _time.sleep(0.05 * (attempt + 1))
             self._clouds, self._descriptors = self._fetch()
 
     @property
@@ -517,12 +529,16 @@ class SlamBackend:
         if code == 1 and sigma <= s_cfg.map2map_reliable_sigma_thre:
             # overwrite odometry with the refined estimate
             T_adj = adj["T"]
-            info = adj["info"]
             b.pose = a.pose @ T_adj
             b.compute_bounds()
-        else:
-            info = np.eye(6) * (1.0 / max(sigma, 0.05) ** 2
-                                if code == 1 else 100.0)
+        # the adjacent edge ALWAYS carries the full m2m information when
+        # the solve converged (`information_matrix_to_next`,
+        # `build_pose_graph.cpp:51-83`) — the pose-overwrite sigma gate is
+        # a separate, stricter decision.  A sigma-scaled identity here
+        # left adjacent edges ~7 orders weaker than loop edges, so ONE
+        # wrong loop edge could override the whole chain without the PGO
+        # conflict ever becoming visible to the wrong-edge veto
+        info = (adj["info"] if code == 1 else np.eye(6) * 100.0)
         # de-weight the adjacent edge by the span's worst-vs-mean per-frame
         # registration confidence: the two submaps are each internally
         # consistent, so the m2m information stays high even when the
@@ -577,14 +593,28 @@ class SlamBackend:
         self.events.append(f"submap {b.sid}: {len(cands)} loop candidates")
 
         sel = cands[:s_cfg.max_used_reg_edge_per_optimization]
+        # drift-aware acceptance window (see SubmapConfig.loop_check_*):
+        # scales with frames since the last accepted PGO; in large-drift
+        # mode the prior is distrusted and the reference window stands
+        if overall:
+            tol_t = s_cfg.wrong_edge_tran_thre * 10.0
+            tol_r = s_cfg.wrong_edge_rot_thre_deg * 6.0
+        else:
+            tol_t = min(s_cfg.loop_check_drift_tol_base
+                        + s_cfg.loop_check_drift_tol_per_frame * fwo,
+                        s_cfg.wrong_edge_tran_thre * 3.0)
+            tol_r = min(s_cfg.loop_check_drift_rot_base_deg
+                        + s_cfg.loop_check_drift_rot_per_frame_deg * fwo,
+                        s_cfg.wrong_edge_rot_thre_deg * 3.0)
         use_bank = (self.bank is not None and b.slot >= 0 and sel
                     and all(o.slot >= 0 for _, o in sel))
         if use_bank:
             new_reg_edges = self._eval_candidates_banked(sel, b, overall,
-                                                         key, fwo)
+                                                         key, fwo,
+                                                         (tol_t, tol_r))
         else:
             new_reg_edges = self._eval_candidates_host(sel, b, overall, key,
-                                                       fwo)
+                                                       fwo, (tol_t, tol_r))
 
         if new_reg_edges == 0:
             return None
@@ -597,8 +627,63 @@ class SlamBackend:
                 self.frames_wo_opt = 0
         return poses
 
+    def _bev_of(self, a: Submap, b: Submap) -> Tuple[np.ndarray, bool]:
+        """Prior-free BEV basin alignment, bank path when possible."""
+        from mulls_tpu.backend import bank as bk
+        if self.bank is not None and a.slot >= 0 and b.slot >= 0:
+            T_bev, ok = bk.pair_bev(self.bank, jnp.int32(a.slot),
+                                    jnp.int32(b.slot))
+            return np.asarray(T_bev, np.float64), bool(ok)
+        return self.bev_align(a, b)
+
+    def _drift_window_accept(self, old: Submap, b: Submap, d: dict,
+                             tol: Tuple[float, float],
+                             allow_bev: bool = True
+                             ) -> Tuple[dict, bool, bool]:
+        """Drift-aware acceptance of a code-1 fine m2m result ``d``
+        (SubmapConfig.loop_check_*): a result outside the window around
+        the odometry prediction is retried from that prediction, then —
+        only while the prior itself is still in question (``allow_bev``;
+        a prior-consistent transfer this boundary re-confirms it) —
+        arbitrated by the prior-free BEV basin search.  Catches aliased
+        m2m modes with healthy sigma that the reference's fixed 15 m
+        double-check window cannot see.  Returns (result, accepted,
+        via_bev): a via_bev edge contradicts the prior on global evidence
+        and must NOT drive the transfer correction — the PGO wrong-edge
+        machinery arbitrates it against the adjacent chain instead."""
+        tol_t, tol_r = tol
+        s_cfg = self.cfg.submap
+        Tg = np.linalg.inv(old.pose) @ b.pose
+        if _np_double_check(d["T"], Tg, tol_t, tol_r):
+            return d, True, False
+        d2 = self._pair_reg(old, b, Tg)
+        if (d2["code"] == 1
+                and d2["confidence"] >= s_cfg.map_to_map_min_cor_ratio
+                and _np_double_check(d2["T"], Tg, tol_t, tol_r)):
+            self.events.append(
+                f"loop {old.sid}->{b.sid}: outside drift window "
+                f"({tol_t:.2f} m), odometry-guess retry accepted")
+            return dict(d2, coarse_used=False), True, False
+        if allow_bev:
+            T_bev, ok_bev = self._bev_of(old, b)
+            if ok_bev and _np_double_check(d["T"], T_bev,
+                                           max(1.0, 0.5 * tol_t),
+                                           max(5.0, 0.5 * tol_r)):
+                # the global basin agrees with the out-of-window result:
+                # the odometry prior is what's wrong — accept, but leave
+                # the final say to the PGO veto (no transfer)
+                self.events.append(
+                    f"loop {old.sid}->{b.sid}: outside drift window "
+                    f"({tol_t:.2f} m) but BEV-confirmed, accepted")
+                return d, True, True
+        self.events.append(
+            f"loop {old.sid}->{b.sid}: rejected, outside drift window "
+            f"({tol_t:.2f} m / {tol_r:.1f} deg)")
+        return d, False, False
+
     def _eval_candidates_banked(self, sel, b: Submap, overall: bool,
-                                key, fwo: int) -> int:
+                                key, fwo: int,
+                                tol: Tuple[float, float]) -> int:
         """Batched loop-candidate ladder over bank slots: ONE device
         dispatch for all K candidates, host accept logic on packed rows,
         rare re-dispatches for BEV fallback / transfer-corrected retries."""
@@ -680,6 +765,10 @@ class SlamBackend:
                     f"loop {old.sid}->{b.sid}: rejected, corr ratio "
                     f"{d['confidence']:.3f}")
                 continue
+            d, ok, via_bev = self._drift_window_accept(
+                old, b, d, tol, allow_bev=(transfer_T is None))
+            if not ok:
+                continue
             self.events.append(f"loop {old.sid}->{b.sid}: accepted, sigma "
                                f"{d['sigma']:.4f}")
             self.edges.append(Edge(i=old.sid, j=b.sid, T=d["T"],
@@ -687,20 +776,25 @@ class SlamBackend:
                                    sigma=d["sigma"],
                                    confidence=d["confidence"]))
             new_reg_edges += 1
-            if s_cfg.transfer_correct_reg_tran_on:
+            if s_cfg.transfer_correct_reg_tran_on and not via_bev:
                 transfer_T = d["T"]
                 b.pose = old.pose @ transfer_T
                 b.compute_bounds()
         return new_reg_edges
 
     def _eval_candidates_host(self, sel, b: Submap, overall: bool,
-                              key, fwo: Optional[int] = None) -> int:
+                              key, fwo: Optional[int] = None,
+                              tol: Optional[Tuple[float, float]] = None
+                              ) -> int:
         """Legacy sequential candidate ladder (host clouds, per-pair
         dispatches) — used when a candidate was evicted from the bank or
         restored from a checkpoint."""
         s_cfg = self.cfg.submap
         if fwo is None:
             fwo = self.frames_wo_opt
+        if tol is None:
+            tol = (s_cfg.wrong_edge_tran_thre * (10.0 if overall else 3.0),
+                   s_cfg.wrong_edge_rot_thre_deg * (6.0 if overall else 3.0))
         new_reg_edges = 0
         transfer_T: Optional[np.ndarray] = None
         for rank, (iou, old) in enumerate(sel):
@@ -761,13 +855,17 @@ class SlamBackend:
                     f"loop {old.sid}->{b.sid}: rejected, corr ratio "
                     f"{d['confidence']:.3f}")
                 continue
+            d, ok, via_bev = self._drift_window_accept(
+                old, b, d, tol, allow_bev=(transfer_T is None))
+            if not ok:
+                continue
             self.events.append(f"loop {old.sid}->{b.sid}: accepted, sigma "
                                f"{d['sigma']:.4f}")
             self.edges.append(Edge(
                 i=old.sid, j=b.sid, T=d["T"], info=d["info"], kind=REG_EDGE,
                 sigma=d["sigma"], confidence=d["confidence"]))
             new_reg_edges += 1
-            if s_cfg.transfer_correct_reg_tran_on:
+            if s_cfg.transfer_correct_reg_tran_on and not via_bev:
                 transfer_T = d["T"]
                 b.pose = old.pose @ transfer_T
                 b.compute_bounds()

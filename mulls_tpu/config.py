@@ -373,6 +373,23 @@ class SubmapConfig:
     # 0.068% odometry run into 0.69% SLAM; with the skip it holds)
     pgo_min_inconsistency_tran: float = 0.3
     pgo_min_inconsistency_rot_deg: float = 0.6
+    # TPU-build extension: drift-aware loop-edge acceptance window.  The
+    # reference double-checks coarse transforms against the odometry
+    # prediction with FIXED thresholds (3x/10x wrong_edge_tran_thre,
+    # `mulls_slam.cpp:551-555`) — 15+ m, far looser than the trajectory
+    # error a run that recently passed a PGO consistency check can have.
+    # The expected error since the last accepted PGO grows with odometry
+    # drift, so the window is base + per_frame * frames_wo_opt (capped at
+    # the reference window; disabled in large-drift mode where the prior
+    # is officially distrusted).  A fine registration outside the window
+    # is retried from the odometry prediction, then arbitrated by the
+    # prior-free BEV basin search before being accepted or dropped —
+    # without this, a 2 m aliased-mode m2m with healthy sigma walks right
+    # through the 15 m reference window (BENCH_r03/r04 loop world).
+    loop_check_drift_tol_base: float = 0.6
+    loop_check_drift_tol_per_frame: float = 0.015
+    loop_check_drift_rot_base_deg: float = 3.0
+    loop_check_drift_rot_per_frame_deg: float = 0.03
     inter_submap_t_limit: float = 2.0
     inter_submap_r_limit: float = 0.1
     inner_submap_t_limit: float = 0.1

@@ -305,27 +305,60 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
         dev0 = jnp.linalg.norm(res.transform[:3, 3] - guess0[:3, 3])
         suspect_dyn = (model_warm & (res.process_code == 1)
                        & (dev0 > sanity_thre))
+        dyn_gate2 = jnp.float32(cfg.map.dynamic_dist_thre_min) ** 2
 
-        def _clean_rereg():
-            dyn_gate2 = jnp.float32(cfg.map.dynamic_dist_thre_min) ** 2
+        def _suspect_branch():
+            """Hypothesis test + cleaned re-registration for a suspect
+            frame.  A mover-captured solve aligns only the mover's point
+            bloc with the map, while a GENUINE platform-motion change
+            (hard braking, the mirrored bench playlist's turn-arounds)
+            aligns the whole static structure — so count the non-ground
+            structural points supported by the map under each hypothesis
+            (ground is translation-invariant and supports both, hence
+            excluded).  Also runs the mover-cleaned re-registration from
+            the prior (sources within the dynamic gate of the
+            prior-aligned map, `map_manager.cpp:145-256` applied to the
+            source)."""
+            sup_res = jnp.int32(0)
+            sup_prior = jnp.int32(0)
             cleaned = {}
             for name, c in frame.down.items():
-                s_xyz = se3.transform_points(guess0, c.xyz)
                 m = state.local_map.clouds[name]
-                _, d2 = nearest_neighbor(s_xyz, c.mask, m.xyz, m.mask)
-                cleaned[name] = c.replace(mask=c.mask & (d2 < dyn_gate2))
-            return mm_lls_icp(cleaned, state.local_map.clouds, cfg.reg,
-                              guess0, max_iter=cfg.reg.reg_max_iter_num_s2m,
-                              dis_thre_add=s2m_add)
+                p_xyz = se3.transform_points(guess0, c.xyz)
+                _, d2p = nearest_neighbor(p_xyz, c.mask, m.xyz, m.mask)
+                cleaned[name] = c.replace(mask=c.mask & (d2p < dyn_gate2))
+                if name in ("pillar", "facade", "beam", "vertex"):
+                    r_xyz = se3.transform_points(res.transform, c.xyz)
+                    _, d2r = nearest_neighbor(r_xyz, c.mask, m.xyz, m.mask)
+                    sup_res = sup_res + jnp.sum(
+                        c.mask & (d2r < dyn_gate2)).astype(jnp.int32)
+                    sup_prior = sup_prior + jnp.sum(
+                        c.mask & (d2p < dyn_gate2)).astype(jnp.int32)
+            res2_ = mm_lls_icp(cleaned, state.local_map.clouds, cfg.reg,
+                               guess0,
+                               max_iter=cfg.reg.reg_max_iter_num_s2m,
+                               dis_thre_add=s2m_add)
+            return sup_res, sup_prior, res2_
 
-        res2 = jax.lax.cond(suspect_dyn, _clean_rereg, lambda: res)
+        sup_res, sup_prior, res2 = jax.lax.cond(
+            suspect_dyn, _suspect_branch,
+            lambda: (jnp.int32(0), jnp.int32(0), res))
+        # the deviant solve explains clearly more static structure than
+        # the prior: the platform genuinely moved — the original result
+        # stands (a vetoed turn-around once cascaded into a silently
+        # corrupted map here: the cleaned solve kept only ground +
+        # aliased structure and "confirmed" the wrong prior)
+        genuine = suspect_dyn & (sup_res > 1.2 * sup_prior + 5)
         dev2 = jnp.linalg.norm(res2.transform[:3, 3] - guess0[:3, 3])
-        take2 = suspect_dyn & (res2.process_code == 1) \
-            & (dev2 <= sanity_thre)
+        # accept the cleaned solve only if it kept enough structure to be
+        # trustworthy (a starved ground-mostly solve parks at the prior)
+        take2 = (suspect_dyn & ~genuine & (res2.process_code == 1)
+                 & (dev2 <= sanity_thre)
+                 & (res2.confidence >= 0.5 * res.confidence))
         res = jax.tree.map(lambda a, b: jnp.where(take2, a, b), res2, res)
         # still deviant after cleaning: hold the motion model this frame
         # (code -4, a veto — NOT a reconvergence failure)
-        veto = suspect_dyn & ~take2
+        veto = suspect_dyn & ~genuine & ~take2
         res = res.replace(process_code=jnp.where(
             veto, jnp.int32(-4), res.process_code))
         guess = jnp.where(veto, guess0, guess)

@@ -30,7 +30,7 @@ from mulls_tpu.config import MullsConfig, load_flagfile
 from mulls_tpu.io.dataset import FolderDataset
 
 
-def phase_a(cfg):
+def phase_a(cfg, tag="A"):
     from mulls_tpu.pipeline.odometry import (init_state, prefetch_segments,
                                              slam_scan, StepOut)
     demo = "/root/reference/demo_data/pcd"
@@ -47,10 +47,10 @@ def phase_a(cfg):
     vecs = np.concatenate([np.asarray(p) for p in parts])
     T, sig, cod, conf, iters = StepOut.unpack_vecs(vecs)
     bad = np.nonzero(cod != 1)[0]
-    print(f"[A] unhealthy frames: {bad.tolist()}")
+    print(f"[{tag}] unhealthy frames: {bad.tolist()}")
     lo = max(int(bad[0]) - 6, 1) if len(bad) else 80
     hi = min((int(bad[-1]) + 6) if len(bad) else 96, 255)
-    print("[A] frame demo_idx code sigma conf iters  |t_rel|  dxyz")
+    print(f"[{tag}] frame demo_idx code sigma conf iters  |t_rel|  dxyz")
     for i in range(lo, hi + 1):
         t = T[i, :3, 3]
         print(f"  {i:3d}  {idx_list[i]:2d}  {cod[i]:3d}  {sig[i]:.4f} "
@@ -135,6 +135,9 @@ def main():
            else MullsConfig())
     if "a" in args.phase:
         phase_a(cfg)
+        cfg_nv = dataclasses.replace(cfg, map=dataclasses.replace(
+            cfg.map, dynamic_step_sanity_thre=0.0))
+        phase_a(cfg_nv, tag="A-noveto")
     if "b" in args.phase:
         phase_b(cfg)
 
