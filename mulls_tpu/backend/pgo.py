@@ -404,6 +404,32 @@ def optimize_and_check(graph: PoseGraph, iterations: int = 20,
                             bad.astype(jnp.float32)])
 
 
+@partial(jax.jit, static_argnames=("iterations", "cg_iters",
+                                   "robust_kernel"))
+def optimize_and_check_cg(graph: PoseGraph, iterations: int = 20,
+                          cg_iters: int = 80,
+                          robust_kernel: bool = False,
+                          tran_thre: float = 2.0,
+                          rot_thre_deg: float = 10.0) -> jnp.ndarray:
+    """iSAM-class solve + wrong-edge check in one dispatch (same packed
+    [7M + 1 + E] layout as `optimize_and_check`).  Backs the
+    `--pose_graph_optimization_method=gtsam` selection: a genuinely
+    different linear-algebra path from the ceres/g2o dense factorization
+    — matrix-free Gauss-Newton whose normal equations are solved by
+    block-Jacobi-preconditioned conjugate gradients applied EDGE-LOCALLY,
+    O(E) memory/work per CG pass.  Incremental in the iSAM sense that
+    every boundary's solve warm-starts from the previously optimized node
+    poses (the backend keeps them current), so a grown-by-one-submap
+    graph converges in a few GN steps instead of a cold solve."""
+    t, q, chi2 = optimize_pose_graph_cg(
+        graph, iterations=iterations, cg_iters=cg_iters,
+        robust_kernel=robust_kernel)
+    bad = wrong_edge_check(graph, t, q, tran_thre, rot_thre_deg)
+    return jnp.concatenate([t.reshape(-1), q.reshape(-1),
+                            chi2.reshape(1),
+                            bad.astype(jnp.float32)])
+
+
 def optimize_pose_graph_sharded(graph: PoseGraph, mesh, iterations: int = 20,
                                 lm_lambda: float = 1e-4,
                                 axis: str = "data",

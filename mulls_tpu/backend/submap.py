@@ -1036,37 +1036,46 @@ class SlamBackend:
                     s.stable = True
             self.optimized = poses
             return poses
-        # --pose_graph_optimization_method selects the solver profile of
-        # the corresponding reference backend (`graph_optimizer.h:181-186`,
-        # `mulls_slam.cpp:597-613`) — all three solve the same quaternion
-        # BetweenFactor problem on device, differing in node handling and
-        # robustification exactly like the originals:
-        #   ceres  — parameter-bound node limiting + pgo_param_t options
-        #            (`graph_optimizer.cpp:481-657`)
-        #   g2o    — hard-fixed anchors only (no bounds trick) with Huber
-        #            robust kernels on every edge (:143-384, :275-277)
-        #   gtsam  — iSAM-style plain GN, no bounds, no robust kernel
-        #            (:852-1040; marked not-passing upstream)
+        # --pose_graph_optimization_method selects the solver backend
+        # (`graph_optimizer.h:181-186`, `mulls_slam.cpp:597-613`) — same
+        # quaternion BetweenFactor problem, genuinely different solves:
+        #   ceres  — dense GN/LM + parameter-bound node limiting +
+        #            pgo_param_t options (`graph_optimizer.cpp:481-657`)
+        #   g2o    — dense LM, hard-fixed anchors only (no bounds trick)
+        #            with Huber robust kernels on every edge
+        #            (:143-384, :275-277)
+        #   gtsam  — iSAM-class incremental smoother (:852-1040): matrix-
+        #            free GN with edge-local block-Jacobi-preconditioned
+        #            CG linear solves, warm-started from the previously
+        #            optimized nodes — no dense Hessian exists, so it
+        #            stays viable at 500+-submap scale where the dense
+        #            factorizations stop being free
         method = s_cfg.pose_graph_optimization_method.lower()
-        if method == "g2o":
-            graph = graph._replace(t_limit=None, r_limit=None)
-            robust = True
-        elif method == "gtsam":
-            graph = graph._replace(t_limit=None, r_limit=None)
-            robust = False
-        else:
-            robust = s_cfg.robust_kernel_on
+        from mulls_tpu.backend.pgo import (optimize_and_check,
+                                           optimize_and_check_cg)
+        mp = int(graph.node_t.shape[0])
         # ONE dispatch + ONE packed fetch for solve + wrong-edge check
         # (separate t/q/chi2/bad fetches each pay a tunnel RTT)
-        from mulls_tpu.backend.pgo import optimize_and_check
-        mp = int(graph.node_t.shape[0])
-        packed = np.asarray(optimize_and_check(
-            graph, iterations=s_cfg.pgo_max_iter,
-            equal_weight=s_cfg.equal_weight_on,
-            diagonal_information=s_cfg.diagonal_information_matrix_on,
-            robust_kernel=robust,
-            tran_thre=s_cfg.wrong_edge_tran_thre,
-            rot_thre_deg=s_cfg.wrong_edge_rot_thre_deg))
+        if method == "gtsam":
+            graph = graph._replace(t_limit=None, r_limit=None)
+            packed = np.asarray(optimize_and_check_cg(
+                graph, iterations=s_cfg.pgo_max_iter,
+                robust_kernel=False,
+                tran_thre=s_cfg.wrong_edge_tran_thre,
+                rot_thre_deg=s_cfg.wrong_edge_rot_thre_deg))
+        else:
+            if method == "g2o":
+                graph = graph._replace(t_limit=None, r_limit=None)
+                robust = True
+            else:
+                robust = s_cfg.robust_kernel_on
+            packed = np.asarray(optimize_and_check(
+                graph, iterations=s_cfg.pgo_max_iter,
+                equal_weight=s_cfg.equal_weight_on,
+                diagonal_information=s_cfg.diagonal_information_matrix_on,
+                robust_kernel=robust,
+                tran_thre=s_cfg.wrong_edge_tran_thre,
+                rot_thre_deg=s_cfg.wrong_edge_rot_thre_deg))
         t = packed[:3 * mp].reshape(mp, 3)
         q = packed[3 * mp:7 * mp].reshape(mp, 4)
         bad = packed[7 * mp + 1:] > 0.5

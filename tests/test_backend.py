@@ -350,3 +350,57 @@ def test_backend_pgo_method_profiles(method):
     err = np.linalg.norm(poses[:, :3, 3] - gt, axis=1)
     assert err[-1] < 0.35, err  # loop edge pulls the end node home
     assert all(s.stable for s in be.submaps)
+
+
+def test_gtsam_backend_at_dense_breaking_scale():
+    """The gtsam selection is an iSAM-class solver (matrix-free GN +
+    edge-local preconditioned CG, `pgo.optimize_and_check_cg`), not a
+    profile of the dense factorization — prove it solves a 600-node
+    drifted loop where the graph grew past the dense comfort zone, and
+    that it agrees with the dense solver on the same graph."""
+    import jax.numpy as jnp
+    from mulls_tpu.backend.pgo import (PoseGraph, optimize_and_check_cg,
+                                       optimize_pose_graph)
+    rng = np.random.default_rng(3)
+    m = 600
+    ang = np.linspace(0, 2 * np.pi, m)
+    gt_t = np.stack([80 * np.cos(ang), 80 * np.sin(ang),
+                     np.zeros(m)], -1).astype(np.float32)
+    noise = gt_t + np.concatenate(
+        [[np.zeros(3)],
+         np.cumsum(0.03 * rng.normal(size=(m - 1, 3)), 0)]).astype(np.float32)
+    nq = np.zeros((m, 4), np.float32)
+    nq[:, 0] = 1.0
+    ei = list(range(m - 1)) + [0, 100, 200]
+    ej = list(range(1, m)) + [m - 1, 400, 500]
+    et = [noise[i + 1] - noise[i] for i in range(m - 1)] + [
+        gt_t[m - 1] - gt_t[0], gt_t[400] - gt_t[100],
+        gt_t[500] - gt_t[200]]
+    E = len(ei)
+    eq = np.zeros((E, 4), np.float32)
+    eq[:, 0] = 1.0
+    graph = PoseGraph(
+        node_t=jnp.asarray(noise), node_q=jnp.asarray(nq),
+        edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+        edge_t=jnp.asarray(np.stack(et)), edge_q=jnp.asarray(eq),
+        edge_info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32),
+                                   (E, 6, 6)),
+        edge_mask=jnp.ones(E, bool),
+        fixed=jnp.asarray([True] + [False] * (m - 1)))
+    packed = np.asarray(optimize_and_check_cg(graph, iterations=20,
+                                              cg_iters=300))
+    t_cg = packed[:3 * m].reshape(m, 3)
+    chi_cg = packed[7 * m]
+    bad = packed[7 * m + 1:] > 0.5
+    assert not bad.any()
+    # the solve must reach the problem's cost floor (the residual error
+    # vs gt is inherent: 3 loop anchors over 600 noisy chain edges leave
+    # mid-chain drift both solvers keep)
+    assert chi_cg < 1e-3, chi_cg
+    err_before = np.linalg.norm(noise - gt_t, axis=1).max()
+    err_cg = np.linalg.norm(t_cg - gt_t, axis=1).max()
+    assert err_cg < 0.85 * err_before, (err_before, err_cg)
+    t_d, _, chi_d = optimize_pose_graph(graph, iterations=20)
+    err_d = np.linalg.norm(np.asarray(t_d) - gt_t, axis=1).max()
+    assert err_cg < err_d + 0.2, (err_cg, err_d)
+    assert chi_cg < 100.0 * max(float(chi_d), 1e-6)
