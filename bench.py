@@ -273,10 +273,17 @@ def main():
         # first lazy-generation attempt put ~0.3 s/frame of host sampling
         # on the critical path and sank the metric to 3 fps.
         from concurrent.futures import ThreadPoolExecutor
+        # the simulated sensor carries the vertical-angle intrinsic the
+        # flagfile's calibration expects (synthetic_accuracy_bench.simulate)
+        v_err = (cfg.preprocess.vertical_ang_correction_deg
+                 if (cfg.preprocess.vertical_ang_calib_on
+                     and 0.0 < cfg.preprocess.vertical_ang_correction_deg
+                     < 180.0) else 0.0)
         with ThreadPoolExecutor(8) as ex:
             sim = list(ex.map(
                 lambda k: simulate(world, world_g[k], cfg.shapes.n_raw,
-                                   np.random.default_rng(seeds[k])),
+                                   np.random.default_rng(seeds[k]),
+                                   vertical_ang_err_deg=v_err),
                 range(n_frames)))
 
         cfg3 = dataclasses.replace(cfg2, submap=dataclasses.replace(

@@ -309,9 +309,6 @@ def fast_ground_filter(
         best_h = jnp.argmax(cnt_h, axis=1)  # [C]
         best_cnt = jnp.take_along_axis(cnt_h, best_h[:, None], 1)[:, 0]
         use_fallback = best_cnt <= 0.0
-        best_inl = jnp.take_along_axis(inl, best_h[cell_of][:, None],
-                                       1)[:, 0]
-        best_inl = jnp.where(use_fallback[cell_of], gm, best_inl)
 
         # LS refit on the per-cell consensus moments (optimizeCoefficients)
         sums = jnp.where(
@@ -334,9 +331,28 @@ def fast_ground_filter(
         p_nz_ok = cell_nz_ok[jnp.clip(cell, 0, num_cells - 1)]
         normal = jnp.where(p_nz_ok[:, None], p_nrm,
                            jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0))
+        # Final inlier gate against the REFIT plane, symmetric (round 4).
+        # The hypothesis planes anchor near the cell FLOOR (their members
+        # ride the floor-biased picks, and min-z depth varies with cell
+        # density: the min of 500 noisy samples sits ~3 sigma below the
+        # true plane, the min of 8 barely 1 sigma) — gating on them
+        # selects ground sets whose mean z rises with range.  That bowl
+        # moves WITH the sensor, and scan-to-map matching re-reads it as
+        # a per-frame pitch rotation of (step x bowl-curvature): measured
+        # -0.012 deg/frame on the straight highway world, integrating to
+        # a 40 m z-climb over 920 m (docs/ACCURACY.md).  One symmetric
+        # reselection around the refit plane (which LS-averages the
+        # consensus and sits far closer to truth) cuts the selection bias
+        # to ~0.1 sigma at the cost of one [n, 4] gather.
+        refit_c = jnp.concatenate(
+            [nrm, -jnp.sum(nrm * meanp, -1, keepdims=True)], axis=-1)
+        prc = refit_c[cell_of]
+        d_refit = jnp.abs(jnp.sum(prc[:, :3] * xyz, -1) + prc[:, 3])
+        sym_inl = gm & (d_refit <= ransac_thre)
+        sym_inl = jnp.where(use_fallback[cell_of], gm, sym_inl)
         # reference drops ground points whose cell plane is too steep, and
         # non-consensus points (`grid_ground.swap(grid_ground_fit)`)
-        is_ground = is_ground & p_nz_ok & best_inl
+        is_ground = is_ground & p_nz_ok & sym_inl
     else:
         # method 0 here; methods 1/2 (radius/kNN PCA on the ground cloud)
         # are applied by the caller via ops.pca on the compacted ground set

@@ -73,11 +73,16 @@ def phase_b(cfg):
     world_g = loop_trajectory(n_frames)
     gt = np.einsum("ij,njk->nik", np.linalg.inv(world_g[0]), world_g)
     seeds = rng.integers(0, 2 ** 31, n_frames)
+    v_err = (cfg.preprocess.vertical_ang_correction_deg
+             if (cfg.preprocess.vertical_ang_calib_on
+                 and 0.0 < cfg.preprocess.vertical_ang_correction_deg
+                 < 180.0) else 0.0)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(8) as ex:
         sim = list(ex.map(
             lambda k: simulate(world, world_g[k], cfg.shapes.n_raw,
-                               np.random.default_rng(seeds[k])),
+                               np.random.default_rng(seeds[k]),
+                               vertical_ang_err_deg=v_err),
             range(n_frames)))
 
     class _L(list):

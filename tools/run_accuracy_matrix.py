@@ -81,7 +81,9 @@ def main() -> int:
     ap.add_argument("--only", default="all",
                     choices=["matrix", "profiles", "all"])
     ap.add_argument("--frames", type=int, default=420)
-    ap.add_argument("--timeout", type=float, default=1200.0)
+    # a cold sensor-profile flagfile changes the compiled shapes: the
+    # remote compile alone can take 5-10 min (prof_128 timed out at 1200)
+    ap.add_argument("--timeout", type=float, default=2100.0)
     ap.add_argument("--out", default=os.path.join(_REPO, "docs",
                                                   "accuracy"))
     args = ap.parse_args()
@@ -102,10 +104,12 @@ def main() -> int:
                 os.path.join(_HERE, "synthetic_accuracy_bench.py"),
                 "--json_out", jpath] + cmd
         print(f"[matrix] ({n + 1}/{len(jobs)}) {tag} ...", flush=True)
+        env = dict(os.environ)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
         try:
             p = subprocess.run(full, timeout=args.timeout,
                                capture_output=True, text=True,
-                               cwd=_REPO)
+                               cwd=_REPO, env=env)
             ok = p.returncode == 0 and os.path.exists(jpath)
             if not ok:
                 print(f"[matrix] {tag} FAILED rc={p.returncode}\n"

@@ -92,7 +92,8 @@ def build_world(rng, half: float = 120.0) -> np.ndarray:
     return np.concatenate(pts).astype(np.float32)
 
 
-def build_world_highway(rng, length: float = 1100.0) -> np.ndarray:
+def build_world_highway(rng, length: float = 1100.0,
+                        road_z_noise: float = 0.03) -> np.ndarray:
     """Structurally different from the urban block: a sparse open highway
     along +x — road surface, guardrails (beam features), posts/signs at
     irregular spacing, embankment slopes, sparse roadside clutter.  No
@@ -105,7 +106,8 @@ def build_world_highway(rng, length: float = 1100.0) -> np.ndarray:
     y = rng.uniform(-6.5, 6.5, n_r)
     pts.append(np.stack([
         rng.uniform(-20, length, n_r), y,
-        -1.73 - 0.01 * np.abs(y) + 0.03 * rng.normal(size=n_r)], -1))
+        -1.73 - 0.01 * np.abs(y)
+        + road_z_noise * rng.normal(size=n_r)], -1))
     # embankment slopes falling off both sides
     n_e = 250_000
     side = rng.choice([-1.0, 1.0], n_e)
@@ -251,7 +253,8 @@ def loop_trajectory(n_frames: int, step: float = 0.8):
     return np.stack(poses)
 
 
-def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0):
+def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0,
+             vertical_ang_err_deg=0.0):
     """One scan: crop world to range, downsample, sensor-frame + noise.
 
     ``beams > 0`` applies a scanner elevation-beam mask (evenly spaced
@@ -259,7 +262,18 @@ def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0):
     fraction of the beam spacing of some beam elevation survive, so a
     16-beam profile sees the genuinely sparse vertical structure the
     16/32/128-beam reference flagfiles were tuned for — not just fewer
-    uniform random points."""
+    uniform random points.
+
+    ``vertical_ang_err_deg`` models the scanner's vertical-angle
+    INTRINSIC error (the HDL-64 bias that
+    `--vertical_ang_correction_deg=0.195` exists to undo): each return
+    keeps its range/azimuth but its reported elevation is biased by
+    -err.  A flagfile that turns the calibration on expects data from a
+    sensor WITH this intrinsic; feeding it perfect data instead bends
+    every cloud into a cone (dz = r*sin(err), +0.20 m at 60 m), whose
+    motion with the sensor integrates into a pitch ratchet
+    (-0.012 deg/frame measured on the straight highway world -> 40 m
+    z-climb; docs/ACCURACY.md)."""
     inv = np.linalg.inv(pose)
     # cheap pre-crop in world coords before the exact transform
     c = pose[:3, 3]
@@ -298,6 +312,16 @@ def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0):
     if len(sel) > n_raw:
         sel = rng.choice(sel, n_raw, replace=False)
     pts = local[sel] + 0.01 * rng.normal(size=(len(sel), 3))
+    if vertical_ang_err_deg:
+        # bias the reported elevation by -err (inverse of the pipeline's
+        # vertical_intrinsic_calibration, `cfilter.hpp:250-292`)
+        dang = np.radians(vertical_ang_err_deg)
+        dist = np.linalg.norm(pts, axis=-1)
+        v = np.arcsin(np.clip(pts[:, 2] / np.maximum(dist, 1e-12), -1, 1))
+        v_b = v - dang
+        hs = np.cos(v_b) / np.maximum(np.cos(v), 1e-12)
+        pts = np.stack([pts[:, 0] * hs, pts[:, 1] * hs,
+                        dist * np.sin(v_b)], -1)
     out = np.zeros((n_raw, 3), np.float32)
     out[:len(sel)] = pts
     mask = np.zeros(n_raw, bool)
@@ -380,12 +404,18 @@ def main():
         if args.fog else (0, 0)
     dyn = (dynamic_traffic(rng, args.frames)
            if args.world == "dynamic" else None)
+    # the simulated sensor carries the vertical-angle intrinsic the
+    # flagfile's calibration expects to undo (see simulate docstring)
+    v_err = (cfg.preprocess.vertical_ang_correction_deg
+             if (cfg.preprocess.vertical_ang_calib_on
+                 and 0.0 < cfg.preprocess.vertical_ang_correction_deg
+                 < 180.0) else 0.0)
     frames = _List(
         simulate(np.concatenate([world, dyn[k]]) if dyn is not None
                  else world,
                  world_g[k], cfg.shapes.n_raw, rng,
                  sensor_range=(20.0 if fog_lo <= k < fog_hi else 65.0),
-                 beams=args.beams)
+                 beams=args.beams, vertical_ang_err_deg=v_err)
         for k in range(args.frames))
     if args.fog:
         print(f"[synthbench] fog bank on frames {fog_lo}-{fog_hi}",
