@@ -260,6 +260,14 @@ class MapConfig:
     # dynamic-suspect sources removed.  0 disables.  0.6 m/frame = 6 m/s^2
     # of acceleration at 10 Hz — beyond any vehicle.
     dynamic_step_sanity_thre: float = 0.6
+    # in-frame recovery ladder (TPU-build extension): the suspect-retry
+    # and dynamic-suspect re-registration run under `lax.cond`, which a
+    # single-sequence jit skips on healthy frames — but the multiseq vmap
+    # lowers cond to select, so EVERY sequence pays BOTH branches EVERY
+    # frame (~2 extra ICPs + NN passes).  The batch pipeline sets this
+    # False and relies on the reference's next-frame add_length recovery
+    # instead (`mulls_slam.cpp:650-657`); streaming keeps the ladder.
+    inframe_recovery_on: bool = True
     # TPU-build robustness extensions (not in the reference; rationale in
     # docs/ACCURACY.md "corner-exit failure anatomy").  Both key off a
     # confidence DROP relative to the run's own EMA baseline — absolute

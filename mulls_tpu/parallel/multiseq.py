@@ -75,6 +75,14 @@ class MultiSeqPipeline:
     replaying their last frame (results truncated to true length)."""
 
     def __init__(self, cfg: MullsConfig, mesh: Mesh, segment: int = 16):
+        import dataclasses
+        # under the sequence vmap, lax.cond lowers to select: the in-frame
+        # recovery ladder would run its extra ICPs for EVERY sequence on
+        # EVERY frame (the round-1-flagged scaling culprit).  The batch
+        # pipeline uses the reference's next-frame add_length recovery
+        # instead (`MapConfig.inframe_recovery_on`)
+        cfg = cfg.replace(map=dataclasses.replace(
+            cfg.map, inframe_recovery_on=False))
         self.cfg = cfg
         self.mesh = mesh
         self.segment = segment

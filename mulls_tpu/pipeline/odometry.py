@@ -261,16 +261,17 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     # frames (under the multiseq vmap it lowers to select — acceptable)
     # cadence-selected scan-to-scan frames must not be overridden by an
     # s2m retry against the (deliberately skipped) thin warm-up map
-    suspect0 = _suspect(res) & ~cadence_sel
-    retry = jax.lax.cond(
-        suspect0,
-        lambda: mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg,
-                           guess, max_iter=cfg.reg.reg_max_iter_num_s2m,
-                           dis_thre_add=s2m_add + jnp.float32(1.0)),
-        lambda: res)
-    take = suspect0 & (retry.process_code == 1) \
-        & (retry.confidence > res.confidence)
-    res = jax.tree.map(lambda a, b: jnp.where(take, a, b), retry, res)
+    if cfg.map.inframe_recovery_on:
+        suspect0 = _suspect(res) & ~cadence_sel
+        retry = jax.lax.cond(
+            suspect0,
+            lambda: mm_lls_icp(frame.down, state.local_map.clouds, cfg.reg,
+                               guess, max_iter=cfg.reg.reg_max_iter_num_s2m,
+                               dis_thre_add=s2m_add + jnp.float32(1.0)),
+            lambda: res)
+        take = suspect0 & (retry.process_code == 1) \
+            & (retry.confidence > res.confidence)
+        res = jax.tree.map(lambda a, b: jnp.where(take, a, b), retry, res)
 
     # --- moving-object sanity veto + source-cleaned re-registration ----
     # A close oncoming mover's points form a CONSISTENT correspondence
@@ -293,7 +294,8 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     # every healthy frame on a moving platform would be vetoed.
     sanity_thre = cfg.map.dynamic_step_sanity_thre
     if (cfg.map.map_based_dynamic_removal_on and sanity_thre > 0
-            and cfg.map.initial_guess_mode == 2):
+            and cfg.map.initial_guess_mode == 2
+            and cfg.map.inframe_recovery_on):
         from mulls_tpu.ops.neighbors import nearest_neighbor
         # the prior is trusted while recently confirmed: a persisted
         # constant-velocity model stays accurate for a few frames through
