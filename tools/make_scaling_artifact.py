@@ -1,4 +1,4 @@
-"""Assemble SCALING_r03.json — the committed multi-sequence scaling
+"""Assemble SCALING_r04.json — the committed multi-sequence scaling
 artifact (round-2 VERDICT Missing #2 / Next #3).
 
 Three measurements, each answering the part of the scaling question this
@@ -63,7 +63,7 @@ def run_json(cmd, timeout, tag):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(_REPO,
-                                                  "SCALING_r03.json"))
+                                                  "SCALING_r04.json"))
     ap.add_argument("--cpu_json", default="/tmp/scaling_cpu8.json")
     ap.add_argument("--frames", type=int, default=48)
     args = ap.parse_args()
@@ -87,7 +87,7 @@ def main() -> int:
             cpu = json.load(f)
 
     out = {
-        "round": 3,
+        "round": 4,
         "streamed_tpu_single_chip": streamed,
         "device_side_tpu_single_chip": device,
         "virtual_mesh_8dev_cpu": cpu,

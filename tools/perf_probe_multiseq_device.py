@@ -44,6 +44,12 @@ def main():
                 "lo_gflag_list_kitti_urban.txt")
     cfg = (load_flagfile(cfg_path) if os.path.exists(cfg_path)
            else MullsConfig())
+    # the batch operating point (MultiSeqPipeline parity): the in-frame
+    # recovery ladder lowers to select under the sequence vmap and would
+    # bill every sequence for both branches every frame
+    import dataclasses
+    cfg = cfg.replace(map=dataclasses.replace(
+        cfg.map, inframe_recovery_on=False))
 
     demo = "/root/reference/demo_data/pcd"
     ds = FolderDataset(demo, cfg.shapes.n_raw)
@@ -63,11 +69,11 @@ def main():
             batch)
         jax.block_until_ready(jax.tree.leaves(raws)[0])
         states, vecs = scan(states, raws)  # compile
-        jax.block_until_ready(vecs)
+        np.asarray(vecs)  # REAL completion (block lies on this backend)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             states, vecs = scan(states, raws)
-        jax.block_until_ready(vecs)
+        np.asarray(vecs)  # data-on-host: honest end of the timed span
         dt = time.perf_counter() - t0
         seg_ms = dt / args.iters * 1e3
         agg_fps = S * args.segment * args.iters / dt
