@@ -28,11 +28,11 @@ import numpy as np
 # phase budgets (s); global watchdog = sum + slack, kept under the
 # driver's outer timeout (~2400 per .claude/skills/verify)
 WARMUP_BUDGET = 420.0
-FRONTEND_BUDGET = 700.0
+FRONTEND_BUDGET = 620.0
 E2E_BUDGET = 420.0
-LOOP_BUDGET = 540.0  # runs the timed loop world TWICE (determinism proof)
+LOOP_BUDGET = 720.0  # runs the timed loop world TWICE (determinism proof)
 GLOBAL_DEADLINE = WARMUP_BUDGET + FRONTEND_BUDGET + E2E_BUDGET \
-    + LOOP_BUDGET + 150.0  # = 2230
+    + LOOP_BUDGET + 150.0  # = 2330, under the driver's ~2400
 
 # the one JSON line, mutated in place by the phases so the watchdog can
 # always print whatever has been measured so far
