@@ -454,7 +454,9 @@ def main():
                if c not in (1, -4)]
         held = [i for i, c in enumerate(res_odo.codes) if c == -4]
         out["odometry_failed_frames"] = len(bad)
+        out["odometry_failed_frame_indices"] = bad[:32]
         out["odometry_vetoed_frames"] = len(held)
+        out["odometry_vetoed_frame_indices"] = held[:32]
         run_len = cur = 0
         prev = None
         for i in held:
