@@ -268,6 +268,12 @@ class MapConfig:
     # False and relies on the reference's next-frame add_length recovery
     # instead (`mulls_slam.cpp:650-657`); streaming keeps the ladder.
     inframe_recovery_on: bool = True
+    # honor the reference's always-on scan-to-scan warm-up for the first
+    # `initial_scan2scan_frame_num` frames even when the s2s module is
+    # off (`mulls_slam.cpp:631`).  Static so the multiseq pipeline can
+    # compile a warm-up program for the first segment and a steady one
+    # (without the cond->select warm-up ICP) for the rest.
+    warmup_s2s_on: bool = True
     # TPU-build robustness extensions (not in the reference; rationale in
     # docs/ACCURACY.md "corner-exit failure anatomy").  Both key off a
     # confidence DROP relative to the run's own EMA baseline — absolute

@@ -86,7 +86,13 @@ class MultiSeqPipeline:
         self.cfg = cfg
         self.mesh = mesh
         self.segment = segment
-        self._scan = make_multiseq_scan(mesh, cfg)
+        # warm/steady split: the cold-start scan-to-scan warm-up
+        # (`mulls_slam.cpp:631`) only matters inside the FIRST segment;
+        # the steady program drops the branch so the vmap-select never
+        # bills it (both carry prev_frame, so the state pytrees match)
+        self._scan_warm = make_multiseq_scan(mesh, cfg)
+        self._scan = make_multiseq_scan(mesh, cfg.replace(
+            map=dataclasses.replace(cfg.map, warmup_s2s_on=False)))
 
     def run(self, datasets: List, progress: bool = False
             ) -> List[OdometryResult]:
@@ -151,7 +157,8 @@ class MultiSeqPipeline:
                 if isinstance(item, BaseException):
                     raise item
                 k, raws = item
-                states, vecs = self._scan(states, raws)
+                scan = self._scan_warm if i == 0 else self._scan
+                states, vecs = scan(states, raws)
                 vec_parts.append(vecs[:, :k])
                 i += k
                 if progress:

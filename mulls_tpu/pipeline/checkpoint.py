@@ -61,14 +61,29 @@ def save_checkpoint(path: str, state, frame_idx: int, poses: np.ndarray,
         raise
 
 
-def load_checkpoint(path: str, backend=None) -> Optional[dict]:
+def load_checkpoint(path: str, backend=None, cfg=None) -> Optional[dict]:
     """Returns the payload with `state` re-uploaded to device, or None.
-    If ``backend`` is given, its host state is restored in place."""
+    If ``backend`` is given, its host state is restored in place.
+    ``cfg`` (optional) reconciles the prev_frame carry against the
+    current config's structure (round-4 changed it from down- to
+    full-capacity clouds; a mismatched carry only costs the warm-up
+    behavior on the first post-resume frames)."""
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
         payload = pickle.load(f)
     state = payload["state"]
+    if cfg is not None and hasattr(state, "prev_frame"):
+        from mulls_tpu.pipeline.odometry import init_state
+        fresh_prev = init_state(cfg).prev_frame
+        old_prev = getattr(state, "prev_frame", None)
+
+        def _shape_of(p):
+            return (None if p is None
+                    else {k: v.xyz.shape for k, v in p.items()})
+
+        if _shape_of(old_prev) != _shape_of(fresh_prev):
+            object.__setattr__(state, "prev_frame", fresh_prev)
     # forward-compat: checkpoints written before SlamState gained a field
     # unpickle without it (frozen-dataclass pickling restores __dict__
     # verbatim); backfill scalar defaults.  (States saved as plain pytrees

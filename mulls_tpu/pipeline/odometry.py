@@ -102,22 +102,44 @@ class StepOut:
                 vecs[:, 15].astype(np.int32))
 
 
+def RegResultLike(T):
+    """Structure-matching dummy RegResult (code 0 = not run)."""
+    from mulls_tpu.frontend.icp import RegResult
+    return RegResult(transform=T, information=jnp.eye(6, dtype=jnp.float32),
+                     sigma=jnp.float32(1.0), confidence=jnp.float32(0.0),
+                     process_code=jnp.int32(0), iterations=jnp.int32(0))
+
+
+def _carries_prev_frame(cfg: MullsConfig) -> bool:
+    """The previous frame's FULL feature clouds ride the scan carry when
+    any scan-to-scan registration can happen: the s2s module, or the
+    reference's ALWAYS-ON warm-up (`mulls_slam.cpp:631`:
+    `scan_to_scan_module_on || i <= initial_scan2scan_frame_num` — the
+    first frames register frame-to-frame because the local map is one
+    thin frame; registering s2m there converges fine but starves the
+    minimum-correspondence gates and ghost-appends the failed frames)."""
+    return (cfg.map.scan_to_scan_module_on
+            or cfg.map.initial_scan2scan_frame_num > 0)
+
+
 def init_state(cfg: MullsConfig) -> SlamState:
     prev = None
-    if cfg.map.scan_to_scan_module_on:
+    if _carries_prev_frame(cfg):
         from mulls_tpu.core.cloud import FeatureCloud
-        f = cfg.feature
-        # capacities mirror the extraction side, where a zero down budget
-        # (a disabled class, e.g. `--beam_down_fixed_num=0` in
-        # `lo_gflag_list_64.txt`) keeps one fully-masked row — the scan
-        # carry structure must match
+        s = cfg.shapes
+        # FULL-capacity classes: the reference's s2s registers the new
+        # frame's down clouds against the previous frame's full feature
+        # sets (its target cblock carries them), not the down sets
         prev = {
-            "ground": FeatureCloud.empty(max(1, f.ground_down_fixed_num)),
-            "pillar": FeatureCloud.empty(max(1, f.pillar_down_fixed_num)),
-            "facade": FeatureCloud.empty(max(1, f.facade_down_fixed_num)),
-            "beam": FeatureCloud.empty(max(1, f.beam_down_fixed_num)),
-            "roof": FeatureCloud.empty(max(1, f.roof_down_fixed_num)),
-            "vertex": FeatureCloud.empty(max(1, f.vertex_keep_num)),
+            "ground": FeatureCloud.empty(s.n_ground_full),
+            "pillar": FeatureCloud.empty(s.n_pillar_full),
+            "facade": FeatureCloud.empty(s.n_facade_full),
+            "beam": FeatureCloud.empty(s.n_beam_full),
+            "roof": FeatureCloud.empty(s.n_roof_full),
+            # the full vertex cloud is the top-k keep set, not an
+            # n_vertex_full-capacity cloud (frontend/features.py)
+            "vertex": FeatureCloud.empty(
+                max(1, cfg.feature.vertex_keep_num)),
         }
     return SlamState(
         local_map=init_local_map(cfg.map),
@@ -199,12 +221,32 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     # interactive mode; applied unconditionally here — the headless
     # reference's no-widening failure cascade on sharp turns is exactly
     # what it prevents, docs/ACCURACY.md.)
+    warm = state.frame_idx <= cfg.map.initial_scan2scan_frame_num
     if cfg.map.scan_to_scan_module_on:
         s2s = mm_lls_icp(frame.down, state.prev_frame, cfg.reg, guess,
                          max_iter=cfg.reg.reg_max_iter_num_s2s,
                          dis_thre_add=state.add_length)
         guess = jnp.where(s2s.process_code == 1, s2s.transform, guess)
         s2m_add = jnp.where(s2s.process_code == 1, 1.0, 0.8)
+    elif _carries_prev_frame(cfg) and cfg.map.warmup_s2s_on:
+        # module OFF but warm-up ON (the reference default: s2s for the
+        # first `initial_scan2scan_frame_num` frames, `mulls_slam.cpp:
+        # 631` — the 1-frame local map starves the s2m count gates even
+        # though the solve converges).  lax.cond keeps the warm-up ICP
+        # off the critical path after the first frames (single-sequence
+        # jit; the multiseq pipeline uses a warm/steady program split)
+        def _warm_s2s():
+            return mm_lls_icp(frame.down, state.prev_frame, cfg.reg,
+                              guess,
+                              max_iter=cfg.reg.reg_max_iter_num_s2s,
+                              dis_thre_add=state.add_length
+                              + jnp.float32(1.0))
+
+        def _dummy():
+            return RegResultLike(guess)
+
+        s2s = jax.lax.cond(warm, _warm_s2s, _dummy)
+        s2m_add = state.add_length
     else:
         s2m_add = state.add_length
 
@@ -215,12 +257,11 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     # scan-to-map cadence (`mulls_slam.cpp:631,667`): within the first
     # `initial_scan2scan_frame_num` frames, or on frames skipped by
     # `s2m_frequency`, the scan-to-scan result stands instead of s2m.
-    # (Only meaningful with the s2s module on; otherwise the warm-up local
-    # map IS the previous frame, so s2m degenerates to s2s by itself.)
+    have_s2s = (cfg.map.scan_to_scan_module_on
+                or (_carries_prev_frame(cfg) and cfg.map.warmup_s2s_on))
     cadence_sel = jnp.bool_(False)
-    if cfg.map.scan_to_scan_module_on and (
-            cfg.map.s2m_frequency > 1
-            or cfg.map.initial_scan2scan_frame_num > 0):
+    if have_s2s and (cfg.map.s2m_frequency > 1
+                     or cfg.map.initial_scan2scan_frame_num > 0):
         idx = state.frame_idx
         use_s2s = ((idx <= cfg.map.initial_scan2scan_frame_num)
                    | (idx % cfg.map.s2m_frequency != 0))
@@ -475,8 +516,8 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     new_state = SlamState(local_map=local_map, pose=out.pose,
                           T_prev=T_prev_next,
                           frame_idx=state.frame_idx + 1, key=key,
-                          prev_frame=(frame.down
-                                      if cfg.map.scan_to_scan_module_on
+                          prev_frame=(frame.full
+                                      if _carries_prev_frame(cfg)
                                       else None),
                           nonground_rate=ng_rate,
                           add_length=add_next,
@@ -535,8 +576,8 @@ def staged_step_fns(cfg: MullsConfig):
         new_state = SlamState(local_map=local_map, pose=out.pose,
                               T_prev=T_prev_next,
                               frame_idx=state.frame_idx + 1, key=key,
-                              prev_frame=(frame.down
-                                          if cfg.map.scan_to_scan_module_on
+                              prev_frame=(frame.full
+                                          if _carries_prev_frame(cfg)
                                           else None),
                               nonground_rate=ng_rate,
                               add_length=add_next,

@@ -94,7 +94,8 @@ class SlamPipeline:
         seg_count = 0
         if self.checkpoint_path:
             from mulls_tpu.pipeline.checkpoint import load_checkpoint
-            ck = load_checkpoint(self.checkpoint_path, backend=backend)
+            ck = load_checkpoint(self.checkpoint_path, backend=backend,
+                                 cfg=cfg)
             if ck is not None and 0 < ck["frame_idx"] <= n:
                 state = ck["state"]
                 i = ck["frame_idx"]
