@@ -68,7 +68,7 @@ def _dynamic_removal_mask(cloud: FeatureCloud, map_cloud: FeatureCloud,
 def update_local_map(local_map: LocalMap, frame: FeatureFrame,
                      T_rel: jnp.ndarray, dynamic_dist_max: jnp.ndarray,
                      map_cfg: MapConfig, key: jax.Array,
-                     removal_enabled=True) -> LocalMap:
+                     removal_enabled=True, append_enabled=True) -> LocalMap:
     """Append ``frame`` (down clouds + vertex) to the map.
 
     ``T_rel`` maps the new frame's coords into the current map frame (the
@@ -77,6 +77,12 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
     removal — callers pass False for frames whose registration is failed or
     low-confidence: removal keys off scan-vs-map distance, so running it on
     a misaligned frame deletes STATIC structure (docs/ACCURACY.md).
+    ``append_enabled`` (may be traced) gates the append itself: a failed or
+    vetoed frame's pose is the motion-model GUESS, and appending its
+    features forks the map into a ghost branch that later healthy
+    registrations lock onto (measured: 3 corner frames ghost-appended
+    during a mover encounter bent the trajectory ~15 deg permanently).
+    The map still transforms/crops so its coordinates follow the pose.
     """
     caps = map_cfg.shapes
     T_inv = se3.inverse(T_rel)
@@ -91,6 +97,7 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
     # (callers pass an already speed-scaled gate; the floor lives HERE only)
     dist_max = jnp.maximum(dynamic_dist_max, map_cfg.dynamic_dist_thre_min + 0.1)
 
+    append_ok = jnp.asarray(append_enabled)
     new_clouds = {}
     new_desc = local_map.vertex_desc
     for i, name in enumerate(FEATURE_NAMES):
@@ -98,7 +105,7 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
         add = frame.down[name]
         # append-radius crop: only points near the scanner join the map
         # (`--append_frame_radius`, `mulls_slam.cpp:143,259,438`)
-        add = add.replace(mask=add.mask & (
+        add = add.replace(mask=add.mask & append_ok & (
             jnp.linalg.norm(add.xyz, axis=-1) < map_cfg.append_frame_radius))
         if name in _DYNAMIC_CLASSES:
             keep = _dynamic_removal_mask(

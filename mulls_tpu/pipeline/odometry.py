@@ -358,7 +358,16 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
             aligns the whole static structure — so count the non-ground
             structural points supported by the map under each hypothesis
             (ground is translation-invariant and supports both, hence
-            excluded).  Also runs the mover-cleaned re-registration from
+            excluded).  KNOWN LIMIT (docs/accuracy/NOTES.md
+            dynamic_s1009): facades/beams are also invariant along their
+            own directions, so a mover-following slide down a street can
+            keep enough facade support to pass as "genuine"; restricting
+            the count to point-like classes blocks that capture but the
+            resulting veto blackout through a corner then needs a
+            rotation-tolerant re-acquisition (4-DoF yaw sweep) that is
+            round-5 work — until then the facade-inclusive test is the
+            better trade on the measured worlds.
+            Also runs the mover-cleaned re-registration from
             the prior (sources within the dynamic gate of the
             prior-aligned map, `map_manager.cpp:145-256` applied to the
             source)."""
@@ -464,12 +473,13 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
 
 
 def _map_stage(state: SlamState, frame, T_rel, dyn_max, removal_ok,
-               cfg: MullsConfig, k_map):
+               cfg: MullsConfig, k_map, append_ok=True):
     """Stage 3 (reference timing column 'map'): dynamic removal + local-map
     append/crop/rebudget + periodic direction-vector refresh."""
     local_map = update_local_map(state.local_map, frame, T_rel, dyn_max,
                                  cfg.map, k_map,
-                                 removal_enabled=removal_ok)
+                                 removal_enabled=removal_ok,
+                                 append_enabled=append_ok)
 
     # periodic re-PCA + consistency cull of the map's pillar/beam direction
     # vectors (`mulls_slam.cpp:431-435`, `map_manager.cpp:95-118`).  In the
@@ -511,6 +521,12 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     (out, T_prev_next, add_next, ema_next, dyn_max,
      removal_ok, model_age_next) = _register_stage(state, frame, cfg)
     frame = _undistort_frame(frame, out.T_rel, cfg)
+    # NOTE: failed frames still append (like the reference).  Gating the
+    # append on code==1 was tried and reverted: during a veto/failure
+    # blackout through a corner the map content freezes while the pose
+    # dead-reckons wrongly, and re-acquisition (translation-widened gates
+    # only) cannot recover the accumulated ROTATION error — the run
+    # starves permanently (docs/accuracy/NOTES.md dynamic_s1009)
     local_map = _map_stage(state, frame, out.T_rel, dyn_max, removal_ok,
                            cfg, k_map)
     new_state = SlamState(local_map=local_map, pose=out.pose,
@@ -550,9 +566,10 @@ def staged_step_fns(cfg: MullsConfig):
         return _register_stage(state, frame, cfg)
 
     @jax.jit
-    def map_fn(state, frame, T_rel, dyn_max, removal_ok, k_map):
+    def map_fn(state, frame, T_rel, dyn_max, removal_ok, k_map,
+               append_ok):
         return _map_stage(state, frame, T_rel, dyn_max, removal_ok, cfg,
-                          k_map)
+                          k_map, append_ok=append_ok)
 
     @jax.jit
     def und_fn(frame, T_rel):
@@ -571,7 +588,7 @@ def staged_step_fns(cfg: MullsConfig):
         with timer("map"):
             frame = und_fn(frame, out.T_rel)
             local_map = map_fn(state, frame, out.T_rel, dyn_max,
-                               removal_ok, k_map)
+                               removal_ok, k_map, True)
             np.asarray(local_map.clouds["ground"].xyz[0, 0])
         new_state = SlamState(local_map=local_map, pose=out.pose,
                               T_prev=T_prev_next,
