@@ -404,3 +404,66 @@ def test_gtsam_backend_at_dense_breaking_scale():
     err_d = np.linalg.norm(np.asarray(t_d) - gt_t, axis=1).max()
     assert err_cg < err_d + 0.2, (err_cg, err_d)
     assert chi_cg < 100.0 * max(float(chi_d), 1e-6)
+
+
+def test_drift_window_accept_logic():
+    """Round-4 drift-aware loop-edge acceptance (`_drift_window_accept`):
+    within-window results pass untouched; an out-of-window result is
+    retried from the odometry prediction; the BEV arbiter only engages
+    when allowed and its acceptances are flagged via_bev."""
+    from mulls_tpu.config import MullsConfig
+    from mulls_tpu.backend.submap import SlamBackend, Submap
+
+    cfg = MullsConfig()
+    be = SlamBackend(cfg)
+    a = Submap(sid=0, pose=np.eye(4), clouds=None, descriptors=None,
+               frame_begin=0, frame_end=0)
+    b = Submap(sid=1, pose=np.eye(4), clouds=None, descriptors=None,
+               frame_begin=1, frame_end=1)
+    b.pose = np.eye(4)
+    b.pose[0, 3] = 10.0  # odometry prediction: 10 m ahead
+
+    def fake_pair_reg(old, bb, Tg, max_iter=None):
+        # the odometry-guess retry converges to the true transform
+        T = np.eye(4)
+        T[0, 3] = 10.1
+        return {"T": T, "sigma": 0.03, "code": 1, "confidence": 0.5,
+                "iterations": 5, "info": np.eye(6)}
+
+    be._pair_reg = fake_pair_reg
+    be._bev_of = lambda *_: (np.eye(4), False)
+
+    T_good = np.eye(4)
+    T_good[0, 3] = 10.2  # 0.2 m from prediction: inside any window
+    d = {"T": T_good, "sigma": 0.04, "code": 1, "confidence": 0.4,
+         "iterations": 5, "info": np.eye(6)}
+    out, ok, via_bev = be._drift_window_accept(a, b, d, (1.0, 5.0))
+    assert ok and not via_bev and out is d
+
+    T_alias = np.eye(4)
+    T_alias[0, 3] = 12.5  # 2.5 m off: outside a 1.0 m window
+    d2 = {"T": T_alias, "sigma": 0.04, "code": 1, "confidence": 0.4,
+          "iterations": 5, "info": np.eye(6)}
+    out, ok, via_bev = be._drift_window_accept(a, b, d2, (1.0, 5.0))
+    assert ok and not via_bev
+    assert abs(out["T"][0, 3] - 10.1) < 1e-9  # the retry's result won
+
+    # retry ALSO aliased: without BEV confirmation the edge is rejected
+    def bad_pair_reg(old, bb, Tg, max_iter=None):
+        return dict(d2)
+
+    be._pair_reg = bad_pair_reg
+    out, ok, via_bev = be._drift_window_accept(a, b, d2, (1.0, 5.0))
+    assert not ok
+
+    # BEV agrees with the out-of-window result -> accepted via_bev
+    T_bev = np.eye(4)
+    T_bev[0, 3] = 12.4
+    be._bev_of = lambda *_: (T_bev, True)
+    out, ok, via_bev = be._drift_window_accept(a, b, d2, (1.0, 5.0))
+    assert ok and via_bev
+
+    # ...but not when the prior was re-confirmed (allow_bev=False)
+    out, ok, via_bev = be._drift_window_accept(a, b, d2, (1.0, 5.0),
+                                               allow_bev=False)
+    assert not ok
