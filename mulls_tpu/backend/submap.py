@@ -99,7 +99,11 @@ class Submap:
                 try:
                     self._clouds, self._descriptors = self._fetch()
                     return
-                except RuntimeError:
+                except RuntimeError as e:
+                    # only the mid-donation race is retryable; a genuine
+                    # fetch failure must surface immediately
+                    if "deleted" not in str(e).lower():
+                        raise
                     _time.sleep(0.05 * (attempt + 1))
             self._clouds, self._descriptors = self._fetch()
 

@@ -260,6 +260,25 @@ class MapConfig:
     # dynamic-suspect sources removed.  0 disables.  0.6 m/frame = 6 m/s^2
     # of acceleration at 10 Hz — beyond any vehicle.
     dynamic_step_sanity_thre: float = 0.6
+    # the mover veto's own switch (decoupled from `inframe_recovery_on`
+    # per round-4 ADVICE: batch users disabling the retry ladder must not
+    # silently lose the veto).  Effective only with
+    # map_based_dynamic_removal_on, sanity_thre > 0 and
+    # initial_guess_mode == 2 (the veto needs a predictive prior).
+    dynamic_sanity_veto_on: bool = True
+    # rotation-tolerant post-blackout re-acquisition (round-5; reference
+    # machinery `cregistration.hpp:1584-1681`): after
+    # `yaw_reacquire_blackout`+ consecutive unhealthy frames, sweep
+    # heading offsets of +-range around the motion-model prior, one
+    # MULLS-ICP per trial, and accept the best healthy solve.  Closes the
+    # mover-during-corner blackout (docs/accuracy/NOTES.md
+    # dynamic_s1009): the veto correctly holds the model through the
+    # capture, but the translation-widened gates alone cannot recover the
+    # yaw error a dead-reckoned corner accumulates.
+    yaw_reacquire_on: bool = True
+    yaw_reacquire_blackout: int = 2
+    yaw_reacquire_range_d: float = 45.0
+    yaw_reacquire_step_d: float = 9.0
     # in-frame recovery ladder (TPU-build extension): the suspect-retry
     # and dynamic-suspect re-registration run under `lax.cond`, which a
     # single-sequence jit skips on healthy frames — but the multiseq vmap

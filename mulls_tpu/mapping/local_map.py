@@ -23,12 +23,13 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from mulls_tpu.config import MapConfig
 from mulls_tpu.core import se3
 from mulls_tpu.core.cloud import (FEATURE_NAMES, FeatureCloud, FeatureFrame,
-                                  VertexDescriptors, compact_topk_random)
+                                  VertexDescriptors)
 from mulls_tpu.ops.neighbors import nearest_neighbor
 
 _DYNAMIC_CLASSES = ("pillar", "beam", "facade")  # `map_manager.cpp:191-215`
@@ -86,7 +87,6 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
     """
     caps = map_cfg.shapes
     T_inv = se3.inverse(T_rel)
-    keys = jax.random.split(key, len(FEATURE_NAMES))
 
     # global cap gate for dynamic removal (`map_manager.cpp:38`)
     map_count = sum(local_map.clouds[n].count
@@ -98,9 +98,11 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
     dist_max = jnp.maximum(dynamic_dist_max, map_cfg.dynamic_dist_thre_min + 0.1)
 
     append_ok = jnp.asarray(append_enabled)
-    new_clouds = {}
-    new_desc = local_map.vertex_desc
-    for i, name in enumerate(FEATURE_NAMES):
+    # Stage 1 — per-class elementwise prep (transform, crops, dynamic
+    # removal); the per-class parts are cheap masked vector math
+    merged_by_name = {}
+    fresh_by_name = {}
+    for name in FEATURE_NAMES:
         old = local_map.clouds[name].transform(T_inv)  # into new frame coords
         add = frame.down[name]
         # append-radius crop: only points near the scanner join the map
@@ -116,27 +118,66 @@ def update_local_map(local_map: LocalMap, frame: FeatureFrame,
         merged = old.concat(add)
         # sphere crop (`map_manager.cpp:62-67`)
         rng = jnp.linalg.norm(merged.xyz, axis=-1)
-        merged = merged.replace(
+        merged_by_name[name] = merged.replace(
             mask=merged.mask & (rng < map_cfg.local_map_radius))
-        # re-budget to the static cap with a SOFT preference for the new
-        # frame's points (+0.5 on a uniform[0,1) score: an old point still
-        # outranks a fresh one 12.5% of the time).  Deliberate deviation
-        # from the reference's uniform re-budget (`map_manager.cpp:73-86`)
-        # so fresh coverage is rarely evicted wholesale
-        cap = caps.capacity(name)
-        fresh = jnp.concatenate([
+        fresh_by_name[name] = jnp.concatenate([
             jnp.zeros((old.capacity,), jnp.float32),
             jnp.full((add.capacity,), 0.5, jnp.float32)])
-        idx, valid = compact_topk_random(merged.mask, cap, keys[i],
-                                         prefer=fresh)
-        new_clouds[name] = merged.gather(idx, valid)
-        if name == "vertex":
-            desc_vec = jnp.concatenate([local_map.vertex_desc.vec,
-                                        frame.descriptors.vec], axis=0)
-            desc_mask = jnp.concatenate([local_map.vertex_desc.mask,
-                                         frame.descriptors.mask], axis=0)
-            new_desc = VertexDescriptors(vec=desc_vec[idx],
-                                         mask=valid & desc_mask[idx])
+
+    # Stage 2 — ONE class-keyed sort re-budgets every class at once
+    # (round 5; previously six per-class `top_k` compactions at ~1.1-1.3 ms
+    # each dominated the map stage, docs/PERF.md).  Each class keeps a SOFT
+    # preference for the new frame's points (+0.5 on a uniform[0,1) score:
+    # an old point still outranks a fresh one 12.5% of the time —
+    # deliberate deviation from the reference's uniform re-budget,
+    # `map_manager.cpp:73-86`, so fresh coverage is rarely evicted
+    # wholesale).  Sort key = class_id*4 + (1.5 - score) for valid rows,
+    # class_id*4 + 3 for invalid: ascending sort groups rows by class
+    # (segment starts are STATIC — every class's merged capacity is
+    # fixed), ranks valid rows by descending score within the class, and
+    # parks invalid rows at the segment tail; each class's winners are
+    # then a static slice of the sorted order.
+    lengths = [merged_by_name[n].capacity for n in FEATURE_NAMES]
+    starts = np.concatenate([[0], np.cumsum(lengths)]).astype(int)
+    all_mask = jnp.concatenate([merged_by_name[n].mask
+                                for n in FEATURE_NAMES])
+    score = jax.random.uniform(key, all_mask.shape) + jnp.concatenate(
+        [fresh_by_name[n] for n in FEATURE_NAMES])
+    class_id = jnp.concatenate([
+        jnp.full((lengths[i],), 4.0 * i, jnp.float32)
+        for i in range(len(FEATURE_NAMES))])
+    sort_key = class_id + jnp.where(all_mask, 1.5 - score,
+                                    jnp.float32(3.0))
+    perm = jnp.argsort(sort_key)
+
+    def _cat(field):
+        return jnp.concatenate([getattr(merged_by_name[n], field)
+                                for n in FEATURE_NAMES])[perm]
+
+    sorted_cloud = FeatureCloud(xyz=_cat("xyz"), normal=_cat("normal"),
+                                intensity=_cat("intensity"),
+                                strength=_cat("strength"),
+                                height=_cat("height"),
+                                ts_ratio=_cat("ts_ratio"),
+                                mask=_cat("mask"))
+    new_clouds = {}
+    for i, name in enumerate(FEATURE_NAMES):
+        cap = caps.capacity(name)
+        sl = slice(int(starts[i]), int(starts[i]) + cap)
+        new_clouds[name] = jax.tree.map(lambda a: a[sl], sorted_cloud)
+
+    # vertex descriptors ride the same permutation (vertex segment only)
+    i_v = FEATURE_NAMES.index("vertex")
+    cap_v = caps.capacity("vertex")
+    vert_perm = perm[int(starts[i_v]):int(starts[i_v]) + cap_v] \
+        - jnp.int32(starts[i_v])
+    desc_vec = jnp.concatenate([local_map.vertex_desc.vec,
+                                frame.descriptors.vec], axis=0)
+    desc_mask = jnp.concatenate([local_map.vertex_desc.mask,
+                                 frame.descriptors.mask], axis=0)
+    new_desc = VertexDescriptors(
+        vec=desc_vec[vert_perm],
+        mask=new_clouds["vertex"].mask & desc_mask[vert_perm])
 
     return LocalMap(clouds=new_clouds, vertex_desc=new_desc)
 

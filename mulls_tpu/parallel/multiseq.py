@@ -77,12 +77,16 @@ class MultiSeqPipeline:
     def __init__(self, cfg: MullsConfig, mesh: Mesh, segment: int = 16):
         import dataclasses
         # under the sequence vmap, lax.cond lowers to select: the in-frame
-        # recovery ladder would run its extra ICPs for EVERY sequence on
-        # EVERY frame (the round-1-flagged scaling culprit).  The batch
-        # pipeline uses the reference's next-frame add_length recovery
-        # instead (`MapConfig.inframe_recovery_on`)
+        # recovery ladder — and the mover sanity veto's hypothesis-test
+        # branch, which has its own flag since round 5 — would run their
+        # extra ICPs + NN passes for EVERY sequence on EVERY frame (the
+        # round-1-flagged scaling culprit).  The batch pipeline therefore
+        # EXPLICITLY disables both and uses the reference's next-frame
+        # add_length recovery instead; streaming users who turn off
+        # `inframe_recovery_on` alone keep the veto.
         cfg = cfg.replace(map=dataclasses.replace(
-            cfg.map, inframe_recovery_on=False))
+            cfg.map, inframe_recovery_on=False,
+            dynamic_sanity_veto_on=False))
         self.cfg = cfg
         self.mesh = mesh
         self.segment = segment
@@ -157,7 +161,12 @@ class MultiSeqPipeline:
                 if isinstance(item, BaseException):
                     raise item
                 k, raws = item
-                scan = self._scan_warm if i == 0 else self._scan
+                # the warm program is needed for every segment that still
+                # contains warm-up frames (frame_idx <=
+                # initial_scan2scan_frame_num), not just the first — with
+                # a small `segment` the warm-up window can span several
+                warm_lim = self.cfg.map.initial_scan2scan_frame_num
+                scan = self._scan_warm if i <= warm_lim else self._scan
                 states, vecs = scan(states, raws)
                 vec_parts.append(vecs[:, :k])
                 i += k

@@ -197,6 +197,25 @@ def _feature_stage(state: SlamState, raw, cfg: MullsConfig, k_feat):
     return frame, ng_rate
 
 
+def _fractional_step(T_base: jnp.ndarray, T_full: jnp.ndarray,
+                     inv_n: jnp.ndarray) -> jnp.ndarray:
+    """``T_base ⊕ frac(delta)`` where ``delta = T_base⁻¹ T_full`` with its
+    rotation angle and translation scaled by ``inv_n`` — the screw-motion
+    interpolation used to convert a blackout-spanning re-acquisition step
+    back into a per-frame motion model."""
+    delta = se3.inverse(T_base) @ T_full
+    R = delta[:3, :3]
+    theta = se3.rotation_angle(R)
+    w = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                   R[1, 0] - R[0, 1]])
+    axis = w / jnp.maximum(2.0 * jnp.sin(theta), 1e-6)
+    R_f = se3.so3_exp(axis * theta * inv_n)
+    delta_f = (jnp.eye(4, dtype=jnp.float32)
+               .at[:3, :3].set(R_f)
+               .at[:3, 3].set(delta[:3, 3] * inv_n))
+    return T_base @ delta_f
+
+
 def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     """Stage 2 (reference timing column 'reg'): scan-to-scan + scan-to-map
     MULLS-ICP with cadence, in-frame retry, recovery bookkeeping, pose
@@ -336,7 +355,7 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     sanity_thre = cfg.map.dynamic_step_sanity_thre
     if (cfg.map.map_based_dynamic_removal_on and sanity_thre > 0
             and cfg.map.initial_guess_mode == 2
-            and cfg.map.inframe_recovery_on):
+            and cfg.map.dynamic_sanity_veto_on):
         from mulls_tpu.ops.neighbors import nearest_neighbor
         # the prior is trusted while recently confirmed: a persisted
         # constant-velocity model stays accurate for a few frames through
@@ -358,21 +377,26 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
             aligns the whole static structure — so count the non-ground
             structural points supported by the map under each hypothesis
             (ground is translation-invariant and supports both, hence
-            excluded).  KNOWN LIMIT (docs/accuracy/NOTES.md
-            dynamic_s1009): facades/beams are also invariant along their
-            own directions, so a mover-following slide down a street can
-            keep enough facade support to pass as "genuine"; restricting
-            the count to point-like classes blocks that capture but the
-            resulting veto blackout through a corner then needs a
-            rotation-tolerant re-acquisition (4-DoF yaw sweep) that is
-            round-5 work — until then the facade-inclusive test is the
-            better trade on the measured worlds.
+            excluded).  Round-5: the count is weighted by each point's
+            OBSERVABILITY along the deviation direction u — a planar
+            feature only constrains motion along its normal (|n.u|), a
+            linear feature only transverse to its axis (sqrt(1-(d.u)^2)),
+            a vertex fully.  The round-4 unweighted count could not
+            discriminate a mover-following slide down a street (facades
+            parallel to the street support BOTH hypotheses along their
+            own plane — docs/accuracy/NOTES.md dynamic_s1009 frame 57);
+            directionally weighted, those facades count ~0 while pillars
+            and vertices keep their full vote, and a genuine turn-around
+            (deviation transverse to vertical pillars) still registers
+            as genuine.
             Also runs the mover-cleaned re-registration from
             the prior (sources within the dynamic gate of the
             prior-aligned map, `map_manager.cpp:145-256` applied to the
             source)."""
-            sup_res = jnp.int32(0)
-            sup_prior = jnp.int32(0)
+            u = res.transform[:3, 3] - guess0[:3, 3]
+            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-6)
+            sup_res = jnp.float32(0)
+            sup_prior = jnp.float32(0)
             cleaned = {}
             for name, c in frame.down.items():
                 m = state.local_map.clouds[name]
@@ -382,10 +406,17 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
                 if name in ("pillar", "facade", "beam", "vertex"):
                     r_xyz = se3.transform_points(res.transform, c.xyz)
                     _, d2r = nearest_neighbor(r_xyz, c.mask, m.xyz, m.mask)
+                    a = jnp.abs(se3.rotate_vectors(guess0, c.normal) @ u)
+                    if name == "facade":
+                        w = a
+                    elif name == "vertex":
+                        w = jnp.ones_like(a)
+                    else:  # pillar/beam: axis direction in `normal`
+                        w = jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
                     sup_res = sup_res + jnp.sum(
-                        c.mask & (d2r < dyn_gate2)).astype(jnp.int32)
+                        w * (c.mask & (d2r < dyn_gate2)))
                     sup_prior = sup_prior + jnp.sum(
-                        c.mask & (d2p < dyn_gate2)).astype(jnp.int32)
+                        w * (c.mask & (d2p < dyn_gate2)))
             res2_ = mm_lls_icp(cleaned, state.local_map.clouds, cfg.reg,
                                guess0,
                                max_iter=cfg.reg.reg_max_iter_num_s2m,
@@ -394,7 +425,7 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
 
         sup_res, sup_prior, res2 = jax.lax.cond(
             suspect_dyn, _suspect_branch,
-            lambda: (jnp.int32(0), jnp.int32(0), res))
+            lambda: (jnp.float32(0), jnp.float32(0), res))
         # the deviant solve explains clearly more static structure than
         # the prior: the platform genuinely moved — the original result
         # stands (a vetoed turn-around once cascaded into a silently
@@ -415,6 +446,55 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
             veto, jnp.int32(-4), res.process_code))
         guess = jnp.where(veto, guess0, guess)
 
+    # --- rotation-tolerant post-blackout re-acquisition (round-5) ------
+    # The veto above correctly holds the motion model through a mover
+    # capture, but a blackout crossing a corner dead-reckons STRAIGHT
+    # while the platform turns: by re-acquisition time the prior carries
+    # tens of degrees of yaw error that the translation-widened gates
+    # cannot absorb (the two reverted round-4 fixes both died here,
+    # docs/accuracy/NOTES.md dynamic_s1009).  After
+    # `yaw_reacquire_blackout` consecutive unhealthy frames, sweep
+    # heading offsets around the prior — one widened MULLS-ICP per trial
+    # yaw, best (confidence/sigma) healthy solve wins (the reference's
+    # 4-DoF TLS global path, `cregistration.hpp:1584-1681`, run as a
+    # bounded local sweep).  lax.cond keeps the sweep off the critical
+    # path on healthy frames.
+    reacq_taken = jnp.bool_(False)
+    if (cfg.map.inframe_recovery_on and cfg.map.yaw_reacquire_on
+            and cfg.map.initial_guess_mode == 2
+            and cfg.map.yaw_reacquire_step_d > 0):
+        dark = ((state.model_age >= cfg.map.yaw_reacquire_blackout)
+                & ~first & ~warm & ~cadence_sel)
+        need = dark & (res.process_code != 1)
+        step_d = float(cfg.map.yaw_reacquire_step_d)
+        n_side = max(int(round(cfg.map.yaw_reacquire_range_d / step_d)), 1)
+        yaws = jnp.asarray(
+            [np.radians(k * step_d)
+             for k in range(-n_side, n_side + 1) if k != 0], jnp.float32)
+
+        def _sweep():
+            def one(yaw):
+                z = jnp.float32(0) * yaw
+                Rz = se3.make_transform(jnp.zeros(3, jnp.float32),
+                                        jnp.stack([z, z, yaw]))
+                return mm_lls_icp(frame.down, state.local_map.clouds,
+                                  cfg.reg, guess0 @ Rz,
+                                  max_iter=cfg.reg.reg_max_iter_num_s2m,
+                                  dis_thre_add=s2m_add + jnp.float32(1.0))
+
+            rs = jax.lax.map(one, yaws)
+            ok = rs.process_code == 1
+            score = jnp.where(ok, rs.confidence
+                              / jnp.maximum(rs.sigma, 1e-4), -1.0)
+            best = jnp.argmax(score)
+            return jax.tree.map(lambda a: a[best], rs)
+
+        rec = jax.lax.cond(need, _sweep, lambda: res)
+        reacq_taken = (need & (rec.process_code == 1)
+                       & (rec.confidence >= 0.5 * baseline))
+        res = jax.tree.map(lambda a, b: jnp.where(reacq_taken, a, b),
+                           rec, res)
+
     failed = res.process_code < 0
     low_conf = res.confidence < cfg.map.add_length_confidence_drop * baseline
     # frame 0 registers against an EMPTY map and always "fails" — that must
@@ -423,8 +503,8 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     # add_length=1.0, `mulls_slam.cpp:391` — no initial guess exists yet),
     # so `first` itself arms the cold-start widening for frame 1.  With the
     # s2s module on this is moot (s2m always runs widened).
-    add_next = jnp.where(first | failed | low_conf, jnp.float32(1.0),
-                         jnp.float32(0.0))
+    add_next = jnp.where(first | failed | low_conf | reacq_taken,
+                         jnp.float32(1.0), jnp.float32(0.0))
     healthy = (res.process_code == 1) & ~first
     # baseline adaptation: fast EMA on normal healthy frames; SLOW EMA on
     # low-confidence healthy frames so a genuinely sparser environment
@@ -453,6 +533,21 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     T_prev_next = jnp.where(first, eye, T_rel)
     model_age_next = jnp.where(res.process_code == 1, jnp.int32(0),
                                state.model_age + 1)
+    # a re-acquired step is (stale prior ⊕ the WHOLE blackout-accumulated
+    # correction) concentrated into one frame — as the next constant-
+    # velocity prior it would overshoot the remaining turn by ~n-1x.  The
+    # dead-reckoning held the prior constant for n frames, so correction/n
+    # approximates the per-frame turn the model missed: hand the next
+    # frame `prior ⊕ correction/n` and mark the model cold (age 4: the
+    # sanity veto's warm gate stays closed for one frame while the sweep
+    # stays armed if re-convergence fails again).
+    if cfg.map.inframe_recovery_on and cfg.map.yaw_reacquire_on \
+            and cfg.map.initial_guess_mode == 2:
+        n = jnp.maximum(state.model_age.astype(jnp.float32), 1.0)
+        T_model = _fractional_step(guess0, T_rel, 1.0 / n)
+        T_prev_next = jnp.where(reacq_taken, T_model, T_prev_next)
+        model_age_next = jnp.where(reacq_taken, jnp.int32(4),
+                                   model_age_next)
 
     pose = state.pose @ T_rel
     pose = pose.at[:3, :3].set(se3.orthonormalize(pose[:3, :3]))
@@ -470,6 +565,15 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
                                        res.confidence, res.iterations))
     return (out, T_prev_next, add_next, ema_next, dyn_max, removal_ok,
             model_age_next)
+
+
+def _gate_append(cfg: MullsConfig, out) -> jnp.ndarray:
+    """Append gate for unhealthy frames — active only when the yaw-sweep
+    re-acquisition can recover from a frozen map (see _slam_step_impl)."""
+    if (cfg.map.inframe_recovery_on and cfg.map.yaw_reacquire_on
+            and cfg.map.initial_guess_mode == 2):
+        return out.code == 1
+    return jnp.bool_(True)
 
 
 def _map_stage(state: SlamState, frame, T_rel, dyn_max, removal_ok,
@@ -521,14 +625,19 @@ def _slam_step_impl(state: SlamState, raw, cfg: MullsConfig):
     (out, T_prev_next, add_next, ema_next, dyn_max,
      removal_ok, model_age_next) = _register_stage(state, frame, cfg)
     frame = _undistort_frame(frame, out.T_rel, cfg)
-    # NOTE: failed frames still append (like the reference).  Gating the
-    # append on code==1 was tried and reverted: during a veto/failure
-    # blackout through a corner the map content freezes while the pose
-    # dead-reckons wrongly, and re-acquisition (translation-widened gates
-    # only) cannot recover the accumulated ROTATION error — the run
-    # starves permanently (docs/accuracy/NOTES.md dynamic_s1009)
+    # Unhealthy frames carry the motion-model GUESS as their pose;
+    # appending their features forks the map into a ghost branch that
+    # later healthy registrations lock onto (measured: 3 corner frames
+    # ghost-appended during a mover encounter bent the trajectory ~15
+    # deg permanently, docs/accuracy/NOTES.md dynamic_s1009).  Gating
+    # the append on code==1 was net-negative in round 4 because the
+    # then translation-only re-acquisition starved against the frozen
+    # map — with the round-5 yaw-sweep re-acquisition the frozen map is
+    # recoverable, so the gate is enabled exactly when that machinery
+    # is.  (The reference appends unconditionally — it has no veto.)
+    append_ok = _gate_append(cfg, out)
     local_map = _map_stage(state, frame, out.T_rel, dyn_max, removal_ok,
-                           cfg, k_map)
+                           cfg, k_map, append_ok=append_ok)
     new_state = SlamState(local_map=local_map, pose=out.pose,
                           T_prev=T_prev_next,
                           frame_idx=state.frame_idx + 1, key=key,
@@ -588,7 +697,7 @@ def staged_step_fns(cfg: MullsConfig):
         with timer("map"):
             frame = und_fn(frame, out.T_rel)
             local_map = map_fn(state, frame, out.T_rel, dyn_max,
-                               removal_ok, k_map, True)
+                               removal_ok, k_map, _gate_append(cfg, out))
             np.asarray(local_map.clouds["ground"].xyz[0, 0])
         new_state = SlamState(local_map=local_map, pose=out.pose,
                               T_prev=T_prev_next,

@@ -33,7 +33,14 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
-_PORT = 47431
+def _free_port() -> int:
+    """Pick a free TCP port at launch (bind 0, read it back) so two
+    concurrent smoke runs — or a stale worker holding a hard-coded port —
+    cannot collide."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def worker() -> None:
@@ -181,7 +188,7 @@ def launcher() -> int:
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cpu_cache",
-        "MULLS_TPU_COORDINATOR": f"localhost:{_PORT}",
+        "MULLS_TPU_COORDINATOR": f"localhost:{_free_port()}",
         "MULLS_TPU_NUM_PROCESSES": "2",
     })
     procs = []
