@@ -1044,10 +1044,14 @@ class SlamBackend:
         # (`graph_optimizer.h:181-186`, `mulls_slam.cpp:597-613`) — same
         # quaternion BetweenFactor problem, genuinely different solves:
         #   ceres  — dense GN/LM + parameter-bound node limiting +
-        #            pgo_param_t options (`graph_optimizer.cpp:481-657`)
-        #   g2o    — dense LM, hard-fixed anchors only (no bounds trick)
-        #            with Huber robust kernels on every edge
-        #            (:143-384, :275-277)
+        #            pgo_param_t options (`graph_optimizer.cpp:481-657`),
+        #            one device dispatch
+        #   g2o    — block-SPARSE Hessian + per-iteration sparse LU
+        #            factorization (SuperLU/COLAMD in the CHOLMOD role),
+        #            hard-fixed anchors eliminated from the system (no
+        #            bounds trick), Huber kernels on every edge — host-
+        #            side like g2o itself (:143-384, :275-277;
+        #            `backend/sparse_pgo.py`)
         #   gtsam  — iSAM-class incremental smoother (:852-1040): matrix-
         #            free GN with edge-local block-Jacobi-preconditioned
         #            CG linear solves, warm-started from the previously
@@ -1067,22 +1071,36 @@ class SlamBackend:
                 robust_kernel=False,
                 tran_thre=s_cfg.wrong_edge_tran_thre,
                 rot_thre_deg=s_cfg.wrong_edge_rot_thre_deg))
+            t = packed[:3 * mp].reshape(mp, 3)
+            q = packed[3 * mp:7 * mp].reshape(mp, 4)
+            bad = packed[7 * mp + 1:] > 0.5
+        elif method == "g2o":
+            from mulls_tpu.backend.sparse_pgo import (
+                optimize_pose_graph_sparse, wrong_edge_check_np)
+            a = {k: np.asarray(getattr(graph, k))
+                 for k in ("node_t", "node_q", "edge_i", "edge_j",
+                           "edge_t", "edge_q", "edge_info", "edge_mask",
+                           "fixed")}
+            t, q, _chi2 = optimize_pose_graph_sparse(
+                a["node_t"], a["node_q"], a["edge_i"], a["edge_j"],
+                a["edge_t"], a["edge_q"], a["edge_info"], a["fixed"],
+                edge_mask=a["edge_mask"],
+                iterations=s_cfg.pgo_max_iter, robust_kernel=True)
+            bad = wrong_edge_check_np(
+                t, q, a["edge_i"], a["edge_j"], a["edge_t"], a["edge_q"],
+                a["edge_mask"], s_cfg.wrong_edge_tran_thre,
+                s_cfg.wrong_edge_rot_thre_deg)
         else:
-            if method == "g2o":
-                graph = graph._replace(t_limit=None, r_limit=None)
-                robust = True
-            else:
-                robust = s_cfg.robust_kernel_on
             packed = np.asarray(optimize_and_check(
                 graph, iterations=s_cfg.pgo_max_iter,
                 equal_weight=s_cfg.equal_weight_on,
                 diagonal_information=s_cfg.diagonal_information_matrix_on,
-                robust_kernel=robust,
+                robust_kernel=s_cfg.robust_kernel_on,
                 tran_thre=s_cfg.wrong_edge_tran_thre,
                 rot_thre_deg=s_cfg.wrong_edge_rot_thre_deg))
-        t = packed[:3 * mp].reshape(mp, 3)
-        q = packed[3 * mp:7 * mp].reshape(mp, 4)
-        bad = packed[7 * mp + 1:] > 0.5
+            t = packed[:3 * mp].reshape(mp, 3)
+            q = packed[3 * mp:7 * mp].reshape(mp, 4)
+            bad = packed[7 * mp + 1:] > 0.5
         reg_idx = [k for k, ed in enumerate(active) if ed.kind == REG_EDGE]
         n_bad_reg = int(bad[reg_idx].sum()) if reg_idx else 0
         n_reg = len(reg_idx)

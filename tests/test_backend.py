@@ -467,3 +467,92 @@ def test_drift_window_accept_logic():
     out, ok, via_bev = be._drift_window_accept(a, b, d2, (1.0, 5.0),
                                                allow_bev=False)
     assert not ok
+
+
+def test_g2o_sparse_solver_at_scale_and_parity():
+    """The g2o selection is a genuinely SPARSE direct solver
+    (`backend/sparse_pgo.py`: block-CSC Hessian + per-iteration sparse LU,
+    anchors eliminated — the architecture of g2o LM+CHOLMOD,
+    `graph_optimizer.cpp:143-384`), not a profile of the dense path.
+    Prove it solves the same 600-node drifted loop the gtsam test uses,
+    agrees with the dense solver, and hard-eliminates fixed nodes."""
+    from mulls_tpu.backend.pgo import PoseGraph, optimize_pose_graph
+    from mulls_tpu.backend.sparse_pgo import optimize_pose_graph_sparse
+    rng = np.random.default_rng(3)
+    m = 600
+    ang = np.linspace(0, 2 * np.pi, m)
+    gt_t = np.stack([80 * np.cos(ang), 80 * np.sin(ang),
+                     np.zeros(m)], -1).astype(np.float32)
+    noise = gt_t + np.concatenate(
+        [[np.zeros(3)],
+         np.cumsum(0.03 * rng.normal(size=(m - 1, 3)), 0)]).astype(np.float32)
+    nq = np.zeros((m, 4), np.float32)
+    nq[:, 0] = 1.0
+    ei = np.asarray(list(range(m - 1)) + [0, 100, 200])
+    ej = np.asarray(list(range(1, m)) + [m - 1, 400, 500])
+    et = np.stack([noise[i + 1] - noise[i] for i in range(m - 1)] + [
+        gt_t[m - 1] - gt_t[0], gt_t[400] - gt_t[100],
+        gt_t[500] - gt_t[200]])
+    E = len(ei)
+    eq = np.zeros((E, 4), np.float32)
+    eq[:, 0] = 1.0
+    info = np.broadcast_to(np.eye(6, dtype=np.float32), (E, 6, 6))
+    fixed = np.asarray([True] + [False] * (m - 1))
+
+    t_s, q_s, chi_s = optimize_pose_graph_sparse(
+        noise, nq, ei, ej, et, eq, info, fixed, iterations=20,
+        robust_kernel=False)
+    # anchor eliminated, not merely pinned: bitwise untouched
+    np.testing.assert_array_equal(t_s[0], noise[0].astype(np.float64))
+    assert chi_s < 1e-3, chi_s
+    err_before = np.linalg.norm(noise - gt_t, axis=1).max()
+    err_s = np.linalg.norm(t_s - gt_t, axis=1).max()
+    assert err_s < 0.85 * err_before, (err_before, err_s)
+    # parity with the dense device solver on the same graph
+    graph = PoseGraph(
+        node_t=jnp.asarray(noise), node_q=jnp.asarray(nq),
+        edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+        edge_t=jnp.asarray(et), edge_q=jnp.asarray(eq),
+        edge_info=jnp.asarray(info), edge_mask=jnp.ones(E, bool),
+        fixed=jnp.asarray(fixed))
+    t_d, _, chi_d = optimize_pose_graph(graph, iterations=20)
+    err_d = np.linalg.norm(np.asarray(t_d) - gt_t, axis=1).max()
+    assert err_s < err_d + 0.2, (err_s, err_d)
+
+
+def test_g2o_sparse_huber_rejects_gross_outlier():
+    """Huber IRLS (g2o RobustKernelHuber parity): a gross SHORT-range
+    false edge must not drag the solution when a correct loop edge
+    anchors the trajectory; the quadratic solve without the kernel is
+    dragged.  (A LONG-range lone false edge is deliberately not used:
+    with weak rotation evidence a whole-chain arc satisfies it almost
+    for free — that measures gauge freedom, not robustness.)"""
+    from mulls_tpu.backend.sparse_pgo import optimize_pose_graph_sparse
+    rng = np.random.default_rng(7)
+    m = 40
+    gt_t = np.stack([np.arange(m, dtype=np.float64), np.zeros(m),
+                     np.zeros(m)], -1)
+    nq = np.zeros((m, 4)); nq[:, 0] = 1.0
+    noise = gt_t + np.concatenate(
+        [[np.zeros(3)], np.cumsum(0.02 * rng.normal(size=(m - 1, 3)), 0)])
+    # chain + CORRECT loop edge (0 -> m-1) + gross false edge 10 -> 15
+    ei = np.asarray(list(range(m - 1)) + [0, 10])
+    ej = np.asarray(list(range(1, m)) + [m - 1, 15])
+    et = np.stack([noise[i + 1] - noise[i] for i in range(m - 1)]
+                  + [gt_t[m - 1] - gt_t[0],
+                     gt_t[15] - gt_t[10] + np.asarray([0.0, 30.0, 0.0])])
+    E = len(ei)
+    eq = np.zeros((E, 4)); eq[:, 0] = 1.0
+    info = np.tile(np.eye(6) * 100.0, (E, 1, 1))
+    info[-1] = np.eye(6)  # the false edge carries ordinary loop weight
+    fixed = np.asarray([True] + [False] * (m - 1))
+    t_r, _, _ = optimize_pose_graph_sparse(
+        noise, nq, ei, ej, et, eq, info, fixed, iterations=25,
+        robust_kernel=True, huber_delta=1.0)
+    t_q, _, _ = optimize_pose_graph_sparse(
+        noise, nq, ei, ej, et, eq, info, fixed, iterations=25,
+        robust_kernel=False)
+    pull_r = abs(t_r[15][1] - gt_t[15][1])
+    pull_q = abs(t_q[15][1] - gt_t[15][1])
+    assert pull_r < 0.5, pull_r          # robust: outlier down-weighted
+    assert pull_q > 2.0 * pull_r, (pull_q, pull_r)  # quadratic: dragged
