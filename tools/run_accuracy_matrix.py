@@ -65,6 +65,42 @@ def build_jobs(frames: int, only: str):
                         cmd += ["--skip_slam", "--config", os.path.join(
                             _CFG_DIR, "lo_gflag_list_kitti_highway.txt")]
                     jobs.append((tag, cmd))
+        # round-5 rows (VERDICT r4 Next #5 / #2): the sparse regime gets a
+        # BACK-END test — the closed interchange circuit runs full SLAM on
+        # the highway flagfile (~1.12 km/lap; 560 frames re-traverse the
+        # first ~110 m of mapped road) — and the deliberately KITTI-hard
+        # urban world calibrates the matrix's difficulty
+        for seed, fog in ((7, False), (23, False), (7, True)):
+            tag = f"highway_loop_s{seed}{'_fog' if fog else ''}"
+            cmd = ["--world", "highway_loop", "--seed", str(seed),
+                   "--frames", str(max(frames, 560)),
+                   "--config", os.path.join(
+                       _CFG_DIR, "lo_gflag_list_kitti_highway.txt")]
+            if fog:
+                cmd.append("--fog")
+            jobs.append((tag, cmd))
+        for seed in (7, 23):
+            jobs.append((f"urban_hard_s{seed}",
+                         ["--world", "urban_hard", "--seed", str(seed),
+                          "--frames", str(frames)]))
+    if only in ("disc", "all"):
+        # discrimination tier (VERDICT r4 Missing #1): the repo's own
+        # NDT/VGICP baselines and the ground-only feature ablation on the
+        # SAME worlds — if they also score ~0.01 % the worlds measure
+        # nothing; a sharp degradation makes the headline rows meaningful
+        for world in ("urban", "dynamic"):
+            for seed in SEEDS:
+                base = ["--world", world, "--seed", str(seed),
+                        "--frames", str(frames), "--lax_health"]
+                for mode in ("ndt", "gicp"):
+                    jobs.append((f"disc_{mode}_{world}_s{seed}",
+                                 base + ["--baseline", mode]))
+                jobs.append((f"disc_ablate_{world}_s{seed}",
+                             base + ["--ablate_features"]))
+        jobs.append(("disc_ndt_urban_hard_s7",
+                     ["--world", "urban_hard", "--seed", "7",
+                      "--frames", str(frames), "--lax_health",
+                      "--baseline", "ndt"]))
     if only in ("profiles", "all"):
         for tag, flagfile, beams in PROFILES:
             cmd = ["--world", "urban", "--seed", "7",
@@ -79,7 +115,7 @@ def build_jobs(frames: int, only: str):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="all",
-                    choices=["matrix", "profiles", "all"])
+                    choices=["matrix", "profiles", "disc", "all"])
     ap.add_argument("--frames", type=int, default=420)
     # a cold sensor-profile flagfile changes the compiled shapes: the
     # remote compile alone can take 5-10 min (prof_128 timed out at 1200)

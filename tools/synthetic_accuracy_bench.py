@@ -163,6 +163,105 @@ def build_world_highway(rng, length: float = 1100.0,
     return np.concatenate(pts).astype(np.float32)
 
 
+def _stadium(L: float = 420.0, r: float = 45.0):
+    """Closed 'stadium' circuit (two straights + two 180-deg arcs, total
+    2L + 2*pi*r ~ 1.12 km): the interchange-loop variant of the highway
+    (VERDICT r4 Next #5 — the sparse regime finally gets a back-end
+    test).  Returns (total_length, centerline(s) -> (x[...], y[...],
+    yaw[...]) vectorized over arc length s)."""
+    total = 2 * L + 2 * np.pi * r
+
+    def centerline(s):
+        s = np.asarray(s, np.float64) % total
+        x = np.empty_like(s)
+        y = np.empty_like(s)
+        yaw = np.empty_like(s)
+        m1 = s < L                          # straight 1: +x along y=0
+        x[m1], y[m1], yaw[m1] = s[m1], 0.0, 0.0
+        m2 = (s >= L) & (s < L + np.pi * r)  # arc 1 (left, centered L, r)
+        th = -np.pi / 2 + (s[m2] - L) / r
+        x[m2] = L + r * np.cos(th)
+        y[m2] = r + r * np.sin(th)
+        yaw[m2] = th + np.pi / 2
+        m3 = (s >= L + np.pi * r) & (s < 2 * L + np.pi * r)  # straight 2
+        x[m3] = L - (s[m3] - L - np.pi * r)
+        y[m3] = 2 * r
+        yaw[m3] = np.pi
+        m4 = s >= 2 * L + np.pi * r          # arc 2 (centered 0, r)
+        th = np.pi / 2 + (s[m4] - 2 * L - np.pi * r) / r
+        x[m4] = r * np.cos(th)
+        y[m4] = r + r * np.sin(th)
+        yaw[m4] = th + np.pi / 2
+        return x, y, yaw
+
+    return total, centerline
+
+
+def build_world_highway_loop(rng, L: float = 420.0,
+                             r: float = 45.0) -> np.ndarray:
+    """Highway feature diet wrapped onto the closed stadium circuit: the
+    straight-highway generator runs in (s, lateral) road coordinates and
+    the centerline map bends them around the loop (guardrails, posts and
+    gantries follow the curve like a real interchange ramp)."""
+    total, centerline = _stadium(L, r)
+    flat = build_world_highway(rng, length=total)
+    s, lat, z = flat[:, 0].astype(np.float64), flat[:, 1], flat[:, 2]
+    x, y, yaw = centerline(s)
+    nx, ny = -np.sin(yaw), np.cos(yaw)  # left normal
+    return np.stack([x + nx * lat, y + ny * lat, z],
+                    -1).astype(np.float32)
+
+
+def highway_loop_trajectory(n_frames: int, step: float = 2.2,
+                            L: float = 420.0, r: float = 45.0):
+    """Drive the stadium circuit at highway speed with gentle lane drift;
+    after one lap (~510 frames) the vehicle re-traverses mapped road —
+    loop-closure opportunities on sparse geometry."""
+    total, centerline = _stadium(L, r)
+    s = np.arange(n_frames) * step
+    x, y, yaw = centerline(s)
+    lat = 1.2 * np.sin(2 * np.pi * s / 300.0)
+    nx, ny = -np.sin(yaw), np.cos(yaw)
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    c, si = np.cos(yaw), np.sin(yaw)
+    poses[:, 0, 0], poses[:, 0, 1] = c, -si
+    poses[:, 1, 0], poses[:, 1, 1] = si, c
+    poses[:, 0, 3] = x + nx * lat
+    poses[:, 1, 3] = y + ny * lat
+    return poses
+
+
+def build_world_hard_extras(rng, half: float = 120.0) -> np.ndarray:
+    """KITTI-hardness additions for the urban world (VERDICT r4 Next #2 —
+    a deliberately hard calibration row): dense street-level clutter
+    (parked cars, bins, hedges — occluders and false planar/linear
+    structure at exactly the feature scales the classifier keys on)."""
+    pts = []
+    for _ in range(260):
+        # parked-car-sized boxes hugging the lane edges + random yard blobs
+        cx = rng.uniform(-half, half)
+        cy = rng.choice([-1.0, 1.0]) * rng.uniform(24.0, 36.0)
+        if rng.uniform() < 0.5:
+            cx, cy = cy, cx
+        n_c = 300
+        yawb = rng.uniform(0, np.pi)
+        u = rng.uniform(-2.1, 2.1, n_c)
+        v = rng.uniform(-0.9, 0.9, n_c)
+        pts.append(np.stack([
+            cx + u * np.cos(yawb) - v * np.sin(yawb),
+            cy + u * np.sin(yawb) + v * np.cos(yawb),
+            rng.uniform(-1.7, -0.25, n_c)], -1))
+    for _ in range(150):
+        # hedges / bushes: noisy blobs 0.5-2.5 m tall
+        cx, cy = rng.uniform(-half, half, 2)
+        n_b = 160
+        pts.append(np.stack([
+            cx + 0.7 * rng.normal(size=n_b),
+            cy + 0.7 * rng.normal(size=n_b),
+            rng.uniform(-1.7, rng.uniform(-1.0, 0.8), n_b)], -1))
+    return np.concatenate(pts).astype(np.float32)
+
+
 def highway_trajectory(n_frames: int, step: float = 2.2):
     """Straight-ish drive at ~80 km/h (2.2 m / 100 ms frame) with gentle
     lane drift — no loop closure opportunities by construction."""
@@ -254,8 +353,15 @@ def loop_trajectory(n_frames: int, step: float = 0.8):
 
 
 def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0,
-             vertical_ang_err_deg=0.0):
+             vertical_ang_err_deg=0.0, noise_base=0.01,
+             noise_range_coef=0.0, occl_sectors=0):
     """One scan: crop world to range, downsample, sensor-frame + noise.
+
+    Hard-world knobs (VERDICT r4 Next #2): ``noise_base`` +
+    ``noise_range_coef`` model per-point noise growing with range
+    (sigma = base + coef * r, the beam-divergence/incidence falloff a
+    real HDL-64 shows); ``occl_sectors`` drops that many random 25-deg
+    azimuth wedges per frame (passing trucks / self-occlusion).
 
     ``beams > 0`` applies a scanner elevation-beam mask (evenly spaced
     beams from -24.8 to +2 deg, HDL/OS1-style): only points within a
@@ -308,10 +414,17 @@ def simulate(world, pose, n_raw, rng, sensor_range=65.0, beams=0,
         hit = np.zeros(len(keep), bool)
         hit[order[first & on_beam[order]]] = True
         keep = hit
+    if occl_sectors:
+        az_deg = np.degrees(np.arctan2(local[:, 1], local[:, 0]))
+        for _ in range(occl_sectors):
+            a0 = rng.uniform(-180.0, 180.0)
+            d = (az_deg - a0 + 180.0) % 360.0 - 180.0
+            keep = keep & ~(np.abs(d) < 12.5)
     sel = np.where(keep)[0]
     if len(sel) > n_raw:
         sel = rng.choice(sel, n_raw, replace=False)
-    pts = local[sel] + 0.01 * rng.normal(size=(len(sel), 3))
+    sigma = noise_base + noise_range_coef * r[sel]
+    pts = local[sel] + sigma[:, None] * rng.normal(size=(len(sel), 3))
     if vertical_ang_err_deg:
         # bias the reported elevation by -err (inverse of the pipeline's
         # vertical_intrinsic_calibration, `cfilter.hpp:250-292`)
@@ -354,11 +467,32 @@ def main():
     ap.add_argument("--skip_slam", action="store_true",
                     help="odometry only (e.g. loop-free highway profile)")
     ap.add_argument("--world", default="urban",
-                    choices=["urban", "highway", "dynamic"],
+                    choices=["urban", "highway", "dynamic",
+                             "highway_loop", "urban_hard"],
                     help="world generator: urban block loop (default), "
-                         "sparse open highway (no loop), or the urban "
+                         "sparse open highway (no loop), the urban "
                          "loop with moving traffic (dynamic removal "
-                         "under real movers)")
+                         "under real movers), the closed highway "
+                         "interchange circuit (sparse geometry WITH "
+                         "loop closure), or the KITTI-hard urban world "
+                         "(clutter + range-scaled noise + occlusion "
+                         "wedges)")
+    ap.add_argument("--baseline", default="",
+                    choices=["", "ndt", "gicp"],
+                    help="discrimination mode: run the named BASELINE "
+                         "registration odometry (plain voxel downsample "
+                         "+ NDT/VGICP, `pipeline/baseline.py`) on the "
+                         "same frames instead of the MULLS pipeline — "
+                         "the matrix's evidence that the synthetic "
+                         "worlds discriminate (VERDICT r4 Missing #1)")
+    ap.add_argument("--ablate_features", action="store_true",
+                    help="discrimination mode: cripple the feature "
+                         "engine (ground-only used_feature_type) so the "
+                         "matrix shows what the classifier contributes")
+    ap.add_argument("--lax_health", action="store_true",
+                    help="skip the failure-cascade health asserts "
+                         "(baseline/ablation rows are EXPECTED to "
+                         "degrade; their value is the measured margin)")
     ap.add_argument("--seed", type=int, default=7,
                     help="world/noise seed — accuracy must hold across "
                          "seeds untouched by tuning (docs/ACCURACY.md)")
@@ -385,13 +519,34 @@ def main():
     cfg = (load_flagfile(args.config)
            if args.config and os.path.exists(args.config)
            else MullsConfig())
+    if args.baseline:
+        cfg = cfg.replace(baseline=dataclasses.replace(
+            cfg.baseline, method=args.baseline))
+        args.skip_slam = True
+    if args.ablate_features:
+        # ground-only diet: the multi-metric solve degenerates to pt2pl
+        # ground rows (z/roll/pitch observable, x/y/yaw starved) — the
+        # honest "what do the features buy" ablation
+        cfg = cfg.replace(reg=dataclasses.replace(
+            cfg.reg, used_feature_type="100000"))
+        args.skip_slam = True
 
     rng = np.random.default_rng(args.seed)
     print(f"[synthbench] building {args.world} world (seed {args.seed}) "
           "...", flush=True)
+    sim_kw = {}
     if args.world == "highway":
         world = build_world_highway(rng)
         world_g = highway_trajectory(args.frames)
+    elif args.world == "highway_loop":
+        world = build_world_highway_loop(rng)
+        world_g = highway_loop_trajectory(args.frames)
+    elif args.world == "urban_hard":
+        world = np.concatenate([build_world(rng),
+                                build_world_hard_extras(rng)])
+        world_g = loop_trajectory(args.frames)
+        sim_kw = dict(noise_base=0.02, noise_range_coef=0.0006,
+                      occl_sectors=2)
     else:
         world = build_world(rng)
         world_g = loop_trajectory(args.frames)
@@ -415,7 +570,7 @@ def main():
                  else world,
                  world_g[k], cfg.shapes.n_raw, rng,
                  sensor_range=(20.0 if fog_lo <= k < fog_hi else 65.0),
-                 beams=args.beams, vertical_ang_err_deg=v_err)
+                 beams=args.beams, vertical_ang_err_deg=v_err, **sim_kw)
         for k in range(args.frames))
     if args.fog:
         print(f"[synthbench] fog bank on frames {fog_lo}-{fog_hi}",
@@ -443,7 +598,12 @@ def main():
 
     if not args.skip_odometry:
         t0 = time.time()
-        res_odo = OdometryPipeline(cfg).run(frames)
+        if args.baseline:
+            from mulls_tpu.pipeline.baseline import BaselinePipeline
+            out["baseline"] = args.baseline
+            res_odo = BaselinePipeline(cfg).run(frames)
+        else:
+            res_odo = OdometryPipeline(cfg).run(frames)
         out["odometry_fps"] = round(args.frames / (time.time() - t0), 1)
         # -4 = dynamic-suspect veto: the solve was DISCARDED in favor of
         # the motion model (bounded dead-reckoning through a mover
@@ -463,7 +623,8 @@ def main():
             cur = cur + 1 if prev == i - 1 else 1
             run_len = max(run_len, cur)
             prev = i
-        assert run_len <= 8, f"mover veto stretch too long: {held}"
+        assert args.lax_health or run_len <= 8, \
+            f"mover veto stretch too long: {held}"
         # Health policy: degraded (fog-bank) frames may legitimately fall
         # back to the motion model; the loop's corners run ~5.7 deg/frame
         # yaw — 3-5x harsher than 10 Hz KITTI — so up to a few ISOLATED
@@ -474,9 +635,10 @@ def main():
         outside = ([i for i in bad if not (fog_lo <= i < fog_hi + 3)]
                    if args.fog else list(bad))
         runs_of_2 = [i for i, j in zip(outside, outside[1:]) if j == i + 1]
-        assert not runs_of_2, f"failure cascade: {outside}"
-        assert len(outside) <= (5 if args.fog else 3), \
-            f"too many failures: {outside}"
+        if not args.lax_health:
+            assert not runs_of_2, f"failure cascade: {outside}"
+            assert len(outside) <= (5 if args.fog else 3), \
+                f"too many failures: {outside}"
         evaluate("odometry", res_odo.poses)
 
     if args.skip_slam:
