@@ -18,10 +18,20 @@ same tile pass, so the distance matrix never touches HBM:
   `cfilter.hpp:1071-1181`).
 
 Tile sizes: TQ=256 sublanes x TP=2048 lanes (f32 min tile 8x128); the
-distance tile is 2 MB of VMEM.  The cross term is an MXU matmul
-``[TQ,3] @ [3,TP]`` and the moment reduction is ``[TQ,TP] @ [TP,C]``.
-Coordinates stay f32 (bf16's 8-bit mantissa cannot represent metre-scale
-coordinates to the mm accuracy the registration needs).
+distance tile is 2 MB of VMEM.  The moment reduction is
+``[TQ,TP] @ [TP,C]``.  Coordinates stay f32 (bf16's 8-bit mantissa
+cannot represent metre-scale coordinates to the mm accuracy the
+registration needs).
+
+Round-5 distance path: the squared distance (and its radius threshold)
+is emitted by ONE augmented K=8 MXU matmul —
+``[-2q, q2 - r2, 1] @ [p; 1; p2]`` = d2 - r2 — instead of
+``cross`` + VPU broadcast-adds.  The measured round-4 floor was NOT the
+matmuls but the [TQ]-vector lane-broadcasts (q2[:,None], r2[:,None],
+p2 row) feeding the elementwise d2: the d2+adjacency-only variant cost
+4.94 of the 5.59 ms pass (tools/perf_mfu_roofline.py).  Folding them
+into the MXU pass cut pca-moments 20k x 20k from 5.59 to 2.7 ms with
+bit-identical adjacency (f32 accumulation throughout).
 """
 
 from __future__ import annotations
@@ -56,16 +66,36 @@ def _pad_to(x: jnp.ndarray, n: int, axis: int = 0, value=0):
 # 1-NN
 # --------------------------------------------------------------------------
 
-def _nn_kernel(q_ref, pt_ref, p2_ref, d_ref, i_ref):
+def _aug_q(q: jnp.ndarray, minus: jnp.ndarray = None) -> jnp.ndarray:
+    """Query side of the augmented distance matmul:
+    ``[-2q | q2 - minus | 1 | 0..]`` [N, 8], so that
+    ``qa @ pa = d2 - minus`` in one K=8 MXU pass."""
+    n = q.shape[0]
+    q2 = jnp.sum(q * q, axis=1)
+    col3 = q2 - (0.0 if minus is None else minus)
+    return jnp.concatenate([
+        -2.0 * q, col3[:, None], jnp.ones((n, 1), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32)], axis=1)
+
+
+def _aug_p(p: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Support side of the augmented distance matmul: ``[p; 1; p2; 0..]``
+    [8, N] (``p2`` carries the +BIG invalid-support sentinel)."""
+    n = p.shape[0]
+    return jnp.concatenate([
+        p.T, jnp.ones((1, n), jnp.float32), p2[None, :],
+        jnp.zeros((3, n), jnp.float32)], axis=0)
+
+
+def _nn_kernel(qa_ref, pa_ref, d_ref, i_ref):
     # d_ref/i_ref hold the FULL [nQ, TQ] result in VMEM (tiny: 4 B/query);
     # row `i` is this q-tile's running argmin state across support tiles.
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    q = q_ref[:]                       # [TQ, 3]
-    q2 = jnp.sum(q * q, axis=1)        # [TQ]
-    cross = jnp.dot(q, pt_ref[:], preferred_element_type=jnp.float32)
-    d2 = q2[:, None] + p2_ref[:] - 2.0 * cross     # [TQ, TP]
+    # ONE augmented matmul emits the whole d2 tile (see module docstring)
+    d2 = jnp.dot(qa_ref[:], pa_ref[:],
+                 preferred_element_type=jnp.float32)   # [TQ, TP]
 
     loc_min = jnp.min(d2, axis=1)                  # [TQ]
     loc_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * TP
@@ -96,11 +126,9 @@ def nn_pallas(q_xyz: jnp.ndarray, q_mask: jnp.ndarray, p_xyz: jnp.ndarray,
         _nn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((TQ, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TP), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda i, j: (0, j),
+            pl.BlockSpec((8, TP), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -114,7 +142,7 @@ def nn_pallas(q_xyz: jnp.ndarray, q_mask: jnp.ndarray, p_xyz: jnp.ndarray,
             jax.ShapeDtypeStruct((qp // TQ, TQ), jnp.int32),
         ],
         interpret=interpret,
-    )(q, p.T, p2[None, :])
+    )(_aug_q(q), _aug_p(p, p2))
 
     idx = best_i.reshape(-1)[:qn]
     d2 = best_d.reshape(-1)[:qn]
@@ -126,11 +154,12 @@ def nn_pallas(q_xyz: jnp.ndarray, q_mask: jnp.ndarray, p_xyz: jnp.ndarray,
 # Radius moments (adjacency @ features), with optional close-neighborhood
 # --------------------------------------------------------------------------
 
-def _moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, cr2_ref, f_ref,
-                    s_ref, c_ref=None):
+def _moments_kernel(qa_ref, pa_ref, dcr2_ref, f_ref, s_ref, c_ref=None):
     """c_ref=None compiles the single-matmul variant: the hot PCA pass
     needs no close-neighborhood sums, so the second [TQ,TP]@[TP,C] matmul
-    and its HBM output are elided at trace time."""
+    and its HBM output are elided at trace time.  The augmented matmul
+    emits ``sm = d2 - r2`` directly; the close test is
+    ``sm <= close_r2 - r2`` (dcr2) — the one remaining lane-broadcast."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -140,17 +169,14 @@ def _moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, cr2_ref, f_ref,
         if c_ref is not None:
             c_ref[:] = jnp.zeros(c_ref.shape, jnp.float32)
 
-    q = q_ref[:]
-    q2 = jnp.sum(q * q, axis=1)
-    cross = jnp.dot(q, pt_ref[:], preferred_element_type=jnp.float32)
-    d2 = q2[:, None] + p2_ref[:] - 2.0 * cross        # [TQ, TP]
+    sm = jnp.dot(qa_ref[:], pa_ref[:],
+                 preferred_element_type=jnp.float32)  # [TQ,TP] = d2 - r2
 
-    r2 = r2_ref[i, :][:, None]                        # [TQ, 1]
     f = f_ref[:]
     # the adjacency is exactly 0/1 (bf16-exact); when the caller shipped a
     # bf16 feature stack the matmul runs at full bf16 MXU rate with f32
     # accumulation
-    adj = (d2 <= r2).astype(f.dtype)
+    adj = (sm <= 0.0).astype(f.dtype)
     # the package sets jax_default_matmul_precision=float32 for the f32
     # geometry path; bf16 operands need DEFAULT or Mosaic rejects the
     # fp32-precision bf16 matmul ("Bad lhs type")
@@ -160,8 +186,8 @@ def _moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, cr2_ref, f_ref,
                         precision=prec)
 
     if c_ref is not None:
-        cr2 = cr2_ref[i, :][:, None]                  # [TQ, 1] absolute r^2
-        cadj = adj * (d2 <= cr2).astype(f.dtype)
+        dcr2 = dcr2_ref[i, :][:, None]               # [TQ, 1] cr2 - r2
+        cadj = adj * (sm <= dcr2).astype(f.dtype)
         c_ref[:] += jnp.dot(cadj, f, preferred_element_type=jnp.float32,
                             precision=prec)
 
@@ -216,13 +242,9 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
         _moments_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((TQ, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TP), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+            pl.BlockSpec((8, TP), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -232,8 +254,8 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
         out_specs=[out_spec] * (2 if with_close else 1),
         out_shape=[out_shape] * (2 if with_close else 1),
         interpret=interpret,
-    )(q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ),
-      cr2p.reshape(qp // TQ, TQ), f)
+    )(_aug_q(q, minus=r2p), _aug_p(p, p2),
+      (cr2p - r2p).reshape(qp // TQ, TQ), f)
     sums = outs[0]
     csums = outs[1] if with_close else jnp.zeros_like(outs[0])
 
@@ -244,82 +266,87 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
 # PCA moments: per-query-tile centered, hi/lo-split bf16 MXU path
 # --------------------------------------------------------------------------
 
-def _pca_moments_kernel(q_ref, pt_ref, p2_ref, r2_ref, s_ref):
+def _pca_moments_kernel(qa_ref, pa_ref, f_ref, s_ref):
     """Covariance moments at full bf16 MXU rate.
 
-    The covariance is shift-invariant, so the 10 moment features
-    [1, x, y, z, xx, xy, xz, yy, yz, zz] are built IN-KERNEL from support
-    coordinates centered at the query tile's mean and split hi/lo into two
-    bf16 halves (f32 = hi + lo with ~16 effective mantissa bits).  With
-    spatially-ordered queries (Morton, see ops.pca) the centered
-    magnitudes stay small enough that the quantization noise on the
-    covariance is orders below LiDAR sampling noise, while the single
-    [TQ,TP] @ [TP,20] matmul runs at the bf16 rate instead of XLA's
-    multi-pass f32 emulation.  d2 itself stays f32 (adjacency needs mm
-    accuracy at 100 m ranges).
+    The kernel is two MXU matmuls and a compare, nothing else: the
+    augmented K=8 pass emits ``sm = d2 - r2`` (f32 accumulation —
+    adjacency needs mm accuracy at 100 m ranges) and the adjacency then
+    contracts a PRE-BUILT moment stack.  The stack
+    [1, x, y, z, xx, xy, xz, yy, yz, zz] is computed ONCE per frame in
+    HBM about the support centroid and split hi/mid/lo into THREE bf16
+    planes (f32 ~ hi + mid + lo, ~24 effective mantissa bits): at 65 m
+    sensor-frame magnitudes the worst second-moment quantization is
+    ~4k * 2^-24 ~ 2.5e-4 m^2, orders below LiDAR noise on any
+    registration-relevant neighborhood variance.  (The round-4 kernel
+    built a per-tile-centered hi/lo stack IN-kernel; once the augmented
+    matmul removed the broadcast floor, the build's [10,TP]->[TP,10]
+    relayout dominated at ~2.3 ms/frame — precomputation removes it.)
     """
-    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
 
-    q = q_ref[:]                       # [TQ, 3] f32
-    q2 = jnp.sum(q * q, axis=1)
-    cross = jnp.dot(q, pt_ref[:], preferred_element_type=jnp.float32)
-    d2 = q2[:, None] + p2_ref[:] - 2.0 * cross     # [TQ, TP]
-    adj = (d2 <= r2_ref[i, :][:, None]).astype(jnp.bfloat16)
-
-    c = jnp.mean(q, axis=0)            # deterministic per i (same for all j)
-    px = pt_ref[0:1, :] - c[0]         # [1, TP] centered support coords
-    py = pt_ref[1:2, :] - c[1]
-    pz = pt_ref[2:3, :] - c[2]
-    f10 = jnp.concatenate(
-        [jnp.ones_like(px), px, py, pz,
-         px * px, px * py, px * pz, py * py, py * pz, pz * pz],
-        axis=0).T                      # [TP, 10] f32
-    hi = f10.astype(jnp.bfloat16)
-    lo = (f10 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    fh = jnp.concatenate([hi, lo], axis=1)         # [TP, 20]
-    fh = jnp.pad(fh, ((0, 0), (0, 128 - 20)))
-    s_ref[:] += jnp.dot(adj, fh, preferred_element_type=jnp.float32,
+    sm = jnp.dot(qa_ref[:], pa_ref[:],
+                 preferred_element_type=jnp.float32)  # [TQ,TP] = d2 - r2
+    adj = (sm <= 0.0).astype(jnp.bfloat16)
+    s_ref[:] += jnp.dot(adj, f_ref[:], preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pca_moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
-                       p_mask: jnp.ndarray, r2: jnp.ndarray,
-                       interpret: bool = False):
-    """Returns (count [Q], mean-shifted sum_xyz [Q,3], sum_outer [Q,6]) —
-    moments about a per-tile center; feed straight into cov_from_moments
-    (covariance is shift-invariant)."""
+                      p_mask: jnp.ndarray, r2: jnp.ndarray,
+                      interpret: bool = False):
+    """Returns (count [Q], centered sum_xyz [Q,3], sum_outer [Q,6]) —
+    moments about the support centroid; feed straight into
+    cov_from_moments (covariance is shift-invariant)."""
     qn, pn = q_xyz.shape[0], p_xyz.shape[0]
     qp, pp = _round_up(qn, TQ), _round_up(pn, TP)
     q = _pad_to(q_xyz.astype(jnp.float32), qp)
     p = _pad_to(p_xyz.astype(jnp.float32), pp)
-    p2 = jnp.sum(p * p, axis=1) + jnp.where(
-        _pad_to(p_mask, pp, value=False), 0.0, _BIG)
+    pm = _pad_to(p_mask, pp, value=False)
+    p2 = jnp.sum(p * p, axis=1) + jnp.where(pm, 0.0, _BIG)
     r2p = _pad_to(r2.astype(jnp.float32), qp)
+
+    # support-centroid-centered moment stack, 3-way bf16 split, built
+    # once per frame (see kernel docstring).  The CENTER must shift the
+    # queries too — it only shifts coordinates, the distances and the
+    # returned centered moments are unchanged semantics-wise.
+    w = pm.astype(jnp.float32)
+    c = jnp.sum(p * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    pc = p - c
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    f10 = jnp.stack([jnp.ones_like(x), x, y, z,
+                     x * x, x * y, x * z, y * y, y * z, z * z], axis=1)
+    hi = f10.astype(jnp.bfloat16)
+    r1 = f10 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    f = jnp.zeros((pp, 128), jnp.bfloat16)
+    f = f.at[:, 0:10].set(hi).at[:, 10:20].set(mid).at[:, 20:30].set(lo)
+
+    qc = q - c
+    p2c = jnp.sum(pc * pc, axis=1) + jnp.where(pm, 0.0, _BIG)
 
     grid = (qp // TQ, pp // TP)
     s = pl.pallas_call(
         _pca_moments_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((TQ, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TP), lambda i, j: (0, j),
+            pl.BlockSpec((8, TP), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qp // TQ, TQ), lambda i, j: (0, 0),
+            pl.BlockSpec((TP, 128), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TQ, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, 128), jnp.float32),
         interpret=interpret,
-    )(q, p.T, p2[None, :], r2p.reshape(qp // TQ, TQ))
-    m = s[:qn, :10] + s[:qn, 10:20]    # hi + lo halves
+    )(_aug_q(qc, minus=r2p), _aug_p(pc, p2c), f)
+    m = s[:qn, :10] + s[:qn, 10:20] + s[:qn, 20:30]  # hi + mid + lo
     return m[:, 0], m[:, 1:4], m[:, 4:10]
