@@ -109,6 +109,16 @@ def build_jobs(frames: int, only: str):
             if beams:
                 cmd += ["--beams", str(beams)]
             jobs.append((tag, cmd))
+        # round-5 (VERDICT r4 Weak #4): the newer_college flagfile in ITS
+        # OWN regime — walking pace with handheld carry motion — to test
+        # the "operating-point mismatch" hypothesis for the 3.99 m car-
+        # speed end gap rather than leave it asserted
+        jobs.append(("prof_newer_college_handheld",
+                     ["--world", "urban", "--seed", "7",
+                      "--frames", str(frames), "--beams", "64",
+                      "--traj_step", "0.35", "--handheld",
+                      "--config", os.path.join(
+                          _CFG_DIR, "lo_gflag_list_newer_college.txt")]))
     return jobs
 
 

@@ -308,6 +308,31 @@ def dynamic_traffic(rng, n_frames: int, lanes=(-2.0, 2.0)):
     return out
 
 
+def handheld_sway(poses: np.ndarray, rng) -> np.ndarray:
+    """Superimpose handheld carry motion on a trajectory: ~1 Hz gait
+    bob (+-4 cm), body sway (+-2.5 deg roll/pitch wander) and heading
+    jitter — the motion regime the Newer College handheld flagfile is
+    tuned for (slow translation, persistent small rotations)."""
+    n = len(poses)
+    t = np.arange(n)
+    bob = 0.04 * np.sin(2 * np.pi * t / 10.0)
+    roll = np.radians(2.5) * np.sin(2 * np.pi * t / 23.0 + 1.2)
+    pitch = np.radians(2.0) * np.sin(2 * np.pi * t / 17.0)
+    yaw_j = np.radians(1.2) * np.cumsum(rng.normal(size=n)) / np.sqrt(
+        np.maximum(t, 1))
+    out = poses.copy()
+    for k in range(n):
+        cr, sr = np.cos(roll[k]), np.sin(roll[k])
+        cp, sp = np.cos(pitch[k]), np.sin(pitch[k])
+        cy, sy = np.cos(yaw_j[k]), np.sin(yaw_j[k])
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        out[k, :3, :3] = poses[k, :3, :3] @ (Rz @ Ry @ Rx)
+        out[k, 2, 3] += bob[k]
+    return out
+
+
 def loop_trajectory(n_frames: int, step: float = 0.8):
     """Rounded-rectangle loop in the street lanes around the center block:
     straight segments + quarter-circle corner arcs (r = 8 m, ~9 deg/frame
@@ -489,6 +514,15 @@ def main():
                     help="discrimination mode: cripple the feature "
                          "engine (ground-only used_feature_type) so the "
                          "matrix shows what the classifier contributes")
+    ap.add_argument("--traj_step", type=float, default=0.0,
+                    help="override the trajectory step length in "
+                         "m/frame (0 = world default); 0.35 ~ walking "
+                         "pace for the handheld regime")
+    ap.add_argument("--handheld", action="store_true",
+                    help="superimpose handheld carry motion (gait bob, "
+                         "roll/pitch sway, heading jitter) — the "
+                         "operating regime the newer_college flagfile "
+                         "is tuned for")
     ap.add_argument("--lax_health", action="store_true",
                     help="skip the failure-cascade health asserts "
                          "(baseline/ablation rows are EXPECTED to "
@@ -549,7 +583,10 @@ def main():
                       occl_sectors=2)
     else:
         world = build_world(rng)
-        world_g = loop_trajectory(args.frames)
+        world_g = (loop_trajectory(args.frames, step=args.traj_step)
+                   if args.traj_step > 0 else loop_trajectory(args.frames))
+    if args.handheld:
+        world_g = handheld_sway(world_g, rng)
     gt = np.einsum("ij,njk->nik", np.linalg.inv(world_g[0]), world_g)
 
     print(f"[synthbench] simulating {args.frames} scans "
