@@ -131,7 +131,10 @@ def fast_ground_filter(
     # decorrelation, not cryptographic quality — threefry bits for
     # [n, 24] cost ~1.1 ms/frame on this chip, the murmur3-style
     # finalizer below is pure VPU elementwise (~0.05 ms)
-    salt = jax.random.bits(ku2, (1, n_pick), jnp.uint32)
+    # two 16-bit uniforms per 32-bit hash: halves the [n, n_pick] hash
+    # work (round 5; 16-bit pick keys are ample — the quantized compare
+    # keeps 14 bits anyway)
+    salt = jax.random.bits(ku2, (1, n_pick // 2), jnp.uint32)
     h = (jnp.arange(n, dtype=jnp.uint32)[:, None]
          * jnp.uint32(2654435761) + salt)
     h = h ^ (h >> 16)
@@ -139,7 +142,10 @@ def fast_ground_filter(
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)
-    u01 = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # [n, 24]
+    u01 = jnp.concatenate(
+        [(h & jnp.uint32(0xFFFF)).astype(jnp.float32),
+         (h >> 16).astype(jnp.float32)],
+        axis=1) * (1.0 / (1 << 16))  # [n, n_pick]
     z_hi = jnp.max(jnp.where(below, z, -_BIG))
     z_lo = jnp.min(jnp.where(below, z, _BIG))
     pick_band = cfg.gf_in_grid_h_thre
