@@ -293,3 +293,84 @@ def test_end_of_run_flush_creates_final_submap(rng):
     # and carries its adjacent edge from the boundary ladder
     kinds = [e.kind for e in be.edges]
     assert kinds.count(1) == 2
+
+
+def test_fractional_step_screw_interpolation():
+    """`_fractional_step(T_base, T_full, 1/n)` splits the delta's rotation
+    angle and translation by n (the post-blackout motion-model handoff)."""
+    from mulls_tpu.pipeline.odometry import _fractional_step
+    base = np.eye(4, dtype=np.float32)
+    base[:3, 3] = [1.0, 0, 0]
+    yaw = np.radians(27.0)
+    c, s = np.cos(yaw), np.sin(yaw)
+    full = np.array([[c, -s, 0, 1.6], [s, c, 0, 0.9],
+                     [0, 0, 1, 0.1], [0, 0, 0, 1]], np.float32)
+    got = np.asarray(_fractional_step(jnp.asarray(base), jnp.asarray(full),
+                                      jnp.float32(1.0 / 3.0)))
+    delta = np.linalg.inv(base) @ got
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(delta[:3, :3]) - 1) / 2, -1, 1)))
+    np.testing.assert_allclose(ang, 9.0, atol=0.2)   # 27/3 deg
+    exp_t = (np.linalg.inv(base) @ full)[:3, 3] / 3.0
+    np.testing.assert_allclose(delta[:3, 3], exp_t, atol=1e-5)
+    # identity delta stays identity
+    same = np.asarray(_fractional_step(jnp.asarray(base), jnp.asarray(base),
+                                       jnp.float32(0.25)))
+    np.testing.assert_allclose(same, base, atol=1e-5)
+
+
+def test_yaw_reacquisition_recovers_rotated_blackout():
+    """Round-5 rotation-tolerant re-acquisition: after a blackout the
+    motion model carries a 40-deg yaw error (a dead-reckoned corner);
+    the standard widened attempt cannot absorb it, the heading sweep
+    re-acquires against the local map.  With the sweep disabled the same
+    state stays lost."""
+    import dataclasses
+    from mulls_tpu.core.cloud import pack_raw_host
+    from mulls_tpu.pipeline.odometry import init_state, slam_step
+
+    cfg = ge._small_cfg()
+    rng = np.random.default_rng(5)
+    world = ge._make_world(5)
+    # 6 stationary warm frames populate the local map, then the platform
+    # "was vetoed" through a corner: the prior is rotated 40 deg while
+    # the truth stays still
+    state = init_state(cfg)
+    raw = None
+    for k in range(6):
+        raw = jax.device_put(pack_raw_host(
+            ge._render_scan(world, np.eye(4), cfg, rng)))
+        state, out = slam_step(state, raw, cfg)
+    assert int(out.code) == 1
+
+    yaw = np.radians(40.0)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T_bad = np.eye(4, dtype=np.float32)
+    T_bad[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+
+    def attempt(cfg_try, st):
+        # slam_step donates its state: each attempt needs its own copy
+        st = jax.tree.map(jnp.copy, st)
+        st = st.replace(T_prev=jnp.asarray(T_bad),
+                        model_age=jnp.int32(4),
+                        add_length=jnp.float32(0.0))
+        frame = jax.device_put(pack_raw_host(
+            ge._render_scan(world, np.eye(4), cfg, rng)))
+        st2, out2 = slam_step(st, frame, cfg_try)
+        T = np.asarray(out2.T_rel, np.float64)
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(T[:3, :3]) - 1) / 2, -1, 1)))
+        return int(out2.code), ang, float(np.linalg.norm(T[:3, 3]))
+
+    code_on, ang_on, tr_on = attempt(cfg, state)
+    cfg_off = cfg.replace(map=dataclasses.replace(
+        cfg.map, yaw_reacquire_on=False))
+    code_off, ang_off, tr_off = attempt(cfg_off, state)
+
+    # sweep on: healthy code, the solved step is near identity (the
+    # 40-deg-wrong prior was corrected, truth = no motion)
+    assert code_on == 1, (code_on, ang_on)
+    assert ang_on < 5.0 and tr_on < 0.5, (ang_on, tr_on)
+    # sweep off: either outright failure/veto, or the frame keeps most of
+    # the rotation error (T_rel stays near the wrong prior)
+    assert code_off != 1 or ang_off > 20.0, (code_off, ang_off)
