@@ -266,22 +266,24 @@ def moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
 # PCA moments: per-query-tile centered, hi/lo-split bf16 MXU path
 # --------------------------------------------------------------------------
 
-def _pca_moments_kernel(qa_ref, pa_ref, f_ref, s_ref):
+def _pca_moments_kernel(qa_ref, pa_ref, s_ref):
     """Covariance moments at full bf16 MXU rate.
 
-    The kernel is two MXU matmuls and a compare, nothing else: the
-    augmented K=8 pass emits ``sm = d2 - r2`` (f32 accumulation —
-    adjacency needs mm accuracy at 100 m ranges) and the adjacency then
-    contracts a PRE-BUILT moment stack.  The stack
-    [1, x, y, z, xx, xy, xz, yy, yz, zz] is computed ONCE per frame in
-    HBM about the support centroid and split hi/mid/lo into THREE bf16
-    planes (f32 ~ hi + mid + lo, ~24 effective mantissa bits): at 65 m
-    sensor-frame magnitudes the worst second-moment quantization is
-    ~4k * 2^-24 ~ 2.5e-4 m^2, orders below LiDAR noise on any
-    registration-relevant neighborhood variance.  (The round-4 kernel
-    built a per-tile-centered hi/lo stack IN-kernel; once the augmented
-    matmul removed the broadcast floor, the build's [10,TP]->[TP,10]
-    relayout dominated at ~2.3 ms/frame — precomputation removes it.)
+    The covariance is shift-invariant, so the 10 moment features
+    [1, x, y, z, xx, xy, xz, yy, yz, zz] are built IN-KERNEL from support
+    coordinates centered at the query tile's mean and split hi/lo into two
+    bf16 halves (f32 = hi + lo with ~16 effective mantissa bits).  With
+    spatially-ordered queries (Morton, see ops.pca) the centered
+    magnitudes stay small enough that the quantization noise on the
+    covariance is orders below LiDAR sampling noise.  PER-TILE centering
+    is load-bearing: a round-5 experiment that precomputed the stack
+    about the GLOBAL support centroid (to skip the in-kernel build)
+    silently destroyed planarity estimation — at 65 m magnitudes the
+    second-moment quantization (~2.5e-4 m^2 even with a 3-way bf16
+    split) swamps the lambda_3 of a clean plane fit (~1e-4 m^2), and
+    highway drift exploded 0.08% -> 19% with zero failed frames.  The
+    adjacency rides the augmented K=8 matmul (``sm = d2 - r2``, exact
+    f32 accumulation).
     """
     j = pl.program_id(1)
 
@@ -289,47 +291,42 @@ def _pca_moments_kernel(qa_ref, pa_ref, f_ref, s_ref):
     def _():
         s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
 
-    sm = jnp.dot(qa_ref[:], pa_ref[:],
-                 preferred_element_type=jnp.float32)  # [TQ,TP] = d2 - r2
-    adj = (sm <= 0.0).astype(jnp.bfloat16)
-    s_ref[:] += jnp.dot(adj, f_ref[:], preferred_element_type=jnp.float32,
+    qa = qa_ref[:]                     # [TQ, 8] = [-2q | q2 - r2 | 1 | 0]
+    sm = jnp.dot(qa, pa_ref[:], preferred_element_type=jnp.float32)
+    adj = (sm <= 0.0).astype(jnp.bfloat16)         # [TQ, TP]
+
+    # recover the query tile's center from the augmentation (q = -qa/2);
+    # deterministic per i (same for all j); support coords are pa rows 0-2
+    c = jnp.mean(-0.5 * qa[:, :3], axis=0)
+    px = pa_ref[0:1, :] - c[0]         # [1, TP] centered support coords
+    py = pa_ref[1:2, :] - c[1]
+    pz = pa_ref[2:3, :] - c[2]
+    f10 = jnp.concatenate(
+        [jnp.ones_like(px), px, py, pz,
+         px * px, px * py, px * pz, py * py, py * pz, pz * pz],
+        axis=0).T                      # [TP, 10] f32
+    hi = f10.astype(jnp.bfloat16)
+    lo = (f10 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    fh = jnp.concatenate([hi, lo], axis=1)         # [TP, 20]
+    fh = jnp.pad(fh, ((0, 0), (0, 128 - 20)))
+    s_ref[:] += jnp.dot(adj, fh, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pca_moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
-                      p_mask: jnp.ndarray, r2: jnp.ndarray,
-                      interpret: bool = False):
-    """Returns (count [Q], centered sum_xyz [Q,3], sum_outer [Q,6]) —
-    moments about the support centroid; feed straight into
-    cov_from_moments (covariance is shift-invariant)."""
+                       p_mask: jnp.ndarray, r2: jnp.ndarray,
+                       interpret: bool = False):
+    """Returns (count [Q], mean-shifted sum_xyz [Q,3], sum_outer [Q,6]) —
+    moments about a per-tile center; feed straight into cov_from_moments
+    (covariance is shift-invariant)."""
     qn, pn = q_xyz.shape[0], p_xyz.shape[0]
     qp, pp = _round_up(qn, TQ), _round_up(pn, TP)
     q = _pad_to(q_xyz.astype(jnp.float32), qp)
     p = _pad_to(p_xyz.astype(jnp.float32), pp)
-    pm = _pad_to(p_mask, pp, value=False)
-    p2 = jnp.sum(p * p, axis=1) + jnp.where(pm, 0.0, _BIG)
+    p2 = jnp.sum(p * p, axis=1) + jnp.where(
+        _pad_to(p_mask, pp, value=False), 0.0, _BIG)
     r2p = _pad_to(r2.astype(jnp.float32), qp)
-
-    # support-centroid-centered moment stack, 3-way bf16 split, built
-    # once per frame (see kernel docstring).  The CENTER must shift the
-    # queries too — it only shifts coordinates, the distances and the
-    # returned centered moments are unchanged semantics-wise.
-    w = pm.astype(jnp.float32)
-    c = jnp.sum(p * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-    pc = p - c
-    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
-    f10 = jnp.stack([jnp.ones_like(x), x, y, z,
-                     x * x, x * y, x * z, y * y, y * z, z * z], axis=1)
-    hi = f10.astype(jnp.bfloat16)
-    r1 = f10 - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    f = jnp.zeros((pp, 128), jnp.bfloat16)
-    f = f.at[:, 0:10].set(hi).at[:, 10:20].set(mid).at[:, 20:30].set(lo)
-
-    qc = q - c
-    p2c = jnp.sum(pc * pc, axis=1) + jnp.where(pm, 0.0, _BIG)
 
     grid = (qp // TQ, pp // TP)
     s = pl.pallas_call(
@@ -340,13 +337,11 @@ def pca_moments_pallas(q_xyz: jnp.ndarray, p_xyz: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TP), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, 128), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TQ, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, 128), jnp.float32),
         interpret=interpret,
-    )(_aug_q(qc, minus=r2p), _aug_p(pc, p2c), f)
-    m = s[:qn, :10] + s[:qn, 10:20] + s[:qn, 20:30]  # hi + mid + lo
+    )(_aug_q(q, minus=r2p), _aug_p(p, p2))
+    m = s[:qn, :10] + s[:qn, 10:20]    # hi + lo halves
     return m[:, 0], m[:, 1:4], m[:, 4:10]

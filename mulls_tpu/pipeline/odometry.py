@@ -568,11 +568,18 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
 
 
 def _gate_append(cfg: MullsConfig, out) -> jnp.ndarray:
-    """Append gate for unhealthy frames — active only when the yaw-sweep
-    re-acquisition can recover from a frozen map (see _slam_step_impl)."""
+    """Append gate for VETOED frames only (code -4: a mover-capture hold,
+    where the pose is KNOWN to be the dead-reckoned guess and the
+    captured geometry would ghost-fork the map).  Ordinary failures
+    (-1/-2/-3) still append like the reference: their T_rel is the
+    motion-model prior — approximately right — and freezing the map
+    through a knife-edge corner frame starves the NEXT frame of fresh
+    corner geometry, amplifying one isolated failure into a cascade
+    (measured: a 7-frame corner cascade on urban_s7 when this gate
+    covered all unhealthy frames)."""
     if (cfg.map.inframe_recovery_on and cfg.map.yaw_reacquire_on
             and cfg.map.initial_guess_mode == 2):
-        return out.code == 1
+        return out.code != -4
     return jnp.bool_(True)
 
 

@@ -20,7 +20,7 @@ pod launcher would use), and runs
 Usage:  python tools/multihost_smoke.py            # launcher
         (workers are respawned copies of this file, selected by env)
 
-Writes docs/MULTIHOST_r04.json.
+Writes docs/MULTIHOST_r05.json.
 """
 
 from __future__ import annotations
@@ -218,7 +218,7 @@ def launcher() -> int:
     for line in outs[0].splitlines():
         if line.startswith("MULTIHOST_RESULT "):
             result.update(json.loads(line[len("MULTIHOST_RESULT "):]))
-    path = os.path.join(_REPO, "docs", "MULTIHOST_r04.json")
+    path = os.path.join(_REPO, "docs", "MULTIHOST_r05.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(f"[launcher] wrote {path}: ok={result['ok']}", flush=True)
