@@ -23,6 +23,10 @@ import threading
 import time
 import traceback
 
+# persist compiles across sessions: the accuracy/bench tooling warms this
+# cache, so an unattended driver capture skips the 5-10 min cold compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 # phase budgets (s); global watchdog = sum + slack, kept under the
