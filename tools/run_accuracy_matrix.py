@@ -79,10 +79,20 @@ def build_jobs(frames: int, only: str):
             if fog:
                 cmd.append("--fog")
             jobs.append((tag, cmd))
-        for seed in (7, 23):
-            jobs.append((f"urban_hard_s{seed}",
-                         ["--world", "urban_hard", "--seed", str(seed),
-                          "--frames", str(frames)]))
+        # difficulty-calibration curve: three hardness levels of the same
+        # world/seed; levels 2-3 run lax (cascades at extreme difficulty
+        # are the measurement, not a defect)
+        jobs.append(("urban_hard_s7",
+                     ["--world", "urban_hard", "--seed", "7",
+                      "--frames", str(frames)]))
+        for lvl in (2, 3):
+            jobs.append((f"urban_hard{lvl}_s7",
+                         ["--world", "urban_hard", "--seed", "7",
+                          "--hardness", str(lvl), "--frames", str(frames),
+                          "--lax_health"]))
+        jobs.append(("urban_hard_s23",
+                     ["--world", "urban_hard", "--seed", "23",
+                      "--frames", str(frames), "--lax_health"]))
     if only in ("disc", "all"):
         # discrimination tier (VERDICT r4 Missing #1): the repo's own
         # NDT/VGICP baselines and the ground-only feature ablation on the

@@ -514,6 +514,13 @@ def main():
                     help="discrimination mode: cripple the feature "
                          "engine (ground-only used_feature_type) so the "
                          "matrix shows what the classifier contributes")
+    ap.add_argument("--hardness", type=int, default=1,
+                    help="urban_hard difficulty level 1-3: noise "
+                         "(base+range-coef), occlusion wedges and fog-"
+                         "free sensor range step up until the pipeline "
+                         "is measurably stressed — the matrix reports "
+                         "the drift CURVE across levels as its "
+                         "difficulty calibration")
     ap.add_argument("--traj_step", type=float, default=0.0,
                     help="override the trajectory step length in "
                          "m/frame (0 = world default); 0.35 ~ walking "
@@ -579,8 +586,14 @@ def main():
         world = np.concatenate([build_world(rng),
                                 build_world_hard_extras(rng)])
         world_g = loop_trajectory(args.frames)
-        sim_kw = dict(noise_base=0.02, noise_range_coef=0.0006,
-                      occl_sectors=2)
+        sim_kw = {
+            1: dict(noise_base=0.02, noise_range_coef=0.0006,
+                    occl_sectors=2),
+            2: dict(noise_base=0.035, noise_range_coef=0.001,
+                    occl_sectors=3),
+            3: dict(noise_base=0.05, noise_range_coef=0.0015,
+                    occl_sectors=4),
+        }[max(1, min(args.hardness, 3))]
     else:
         world = build_world(rng)
         world_g = (loop_trajectory(args.frames, step=args.traj_step)
