@@ -389,12 +389,21 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
             and vertices keep their full vote, and a genuine turn-around
             (deviation transverse to vertical pillars) still registers
             as genuine.
+            The SUPPORT gate is 3x the dynamic gate: the map's budgeted
+            classes sample surfaces at ~1 m spacing, so a 0.3 m 1-NN
+            support test is sampling-limited (measured: ~25 vs ~10
+            counts for a 2.4 m capture vs the true prior — decided by
+            noise); at 0.9 m the true hypothesis draws hundreds of
+            votes while a meters-displaced capture still gets none.
+            The CLEANING mask keeps the tight gate (its job is culling
+            mover points, not voting).
             Also runs the mover-cleaned re-registration from
             the prior (sources within the dynamic gate of the
             prior-aligned map, `map_manager.cpp:145-256` applied to the
             source)."""
             u = res.transform[:3, 3] - guess0[:3, 3]
             u = u / jnp.maximum(jnp.linalg.norm(u), 1e-6)
+            sup_gate2 = 9.0 * dyn_gate2
             sup_res = jnp.float32(0)
             sup_prior = jnp.float32(0)
             cleaned = {}
@@ -414,9 +423,9 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
                     else:  # pillar/beam: axis direction in `normal`
                         w = jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
                     sup_res = sup_res + jnp.sum(
-                        w * (c.mask & (d2r < dyn_gate2)))
+                        w * (c.mask & (d2r < sup_gate2)))
                     sup_prior = sup_prior + jnp.sum(
-                        w * (c.mask & (d2p < dyn_gate2)))
+                        w * (c.mask & (d2p < sup_gate2)))
             res2_ = mm_lls_icp(cleaned, state.local_map.clouds, cfg.reg,
                                guess0,
                                max_iter=cfg.reg.reg_max_iter_num_s2m,
@@ -468,21 +477,32 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
         need = dark & (res.process_code != 1)
         step_d = float(cfg.map.yaw_reacquire_step_d)
         n_side = max(int(round(cfg.map.yaw_reacquire_range_d / step_d)), 1)
-        yaws = jnp.asarray(
-            [np.radians(k * step_d)
-             for k in range(-n_side, n_side + 1) if k != 0], jnp.float32)
+        # trial grid: heading offsets x translation scales.  A blackout
+        # can corrupt the model's SPEED as well as its heading (a slipped
+        # mover capture writes its own velocity into the prior, measured
+        # 2.4 m/frame vs a true 0.8 on dynamic_s1009 frame 57) — pure yaw
+        # trials around a wrong-speed prior all miss the widened gates,
+        # so each heading is also tried at 1x and 1/3x of the prior's
+        # translation
+        yaws = [np.radians(k * step_d)
+                for k in range(-n_side, n_side + 1) if k != 0]
+        trials = jnp.asarray([(y, s) for s in (1.0, 1.0 / 3.0)
+                              for y in ([0.0] if s != 1.0 else []) + yaws],
+                             jnp.float32)
 
         def _sweep():
-            def one(yaw):
+            def one(trial):
+                yaw, sc = trial[0], trial[1]
                 z = jnp.float32(0) * yaw
                 Rz = se3.make_transform(jnp.zeros(3, jnp.float32),
                                         jnp.stack([z, z, yaw]))
+                init = (guess0.at[:3, 3].multiply(sc)) @ Rz
                 return mm_lls_icp(frame.down, state.local_map.clouds,
-                                  cfg.reg, guess0 @ Rz,
+                                  cfg.reg, init,
                                   max_iter=cfg.reg.reg_max_iter_num_s2m,
                                   dis_thre_add=s2m_add + jnp.float32(1.0))
 
-            rs = jax.lax.map(one, yaws)
+            rs = jax.lax.map(one, trials)
             ok = rs.process_code == 1
             score = jnp.where(ok, rs.confidence
                               / jnp.maximum(rs.sigma, 1e-4), -1.0)
@@ -544,7 +564,15 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
     if cfg.map.inframe_recovery_on and cfg.map.yaw_reacquire_on \
             and cfg.map.initial_guess_mode == 2:
         n = jnp.maximum(state.model_age.astype(jnp.float32), 1.0)
+        # rotation: 1/n of the correction (a dead-reckoned corner
+        # accumulates yaw error over n frames, so correction/n ~ the
+        # per-frame turn the model missed).  Translation: the measured
+        # step in FULL — it IS the platform's current velocity; a
+        # velocity-corrupted prior (mover capture) needs the whole
+        # correction at once, while a short yaw blackout's accumulated
+        # lateral offset stays within the widened next-frame gates.
         T_model = _fractional_step(guess0, T_rel, 1.0 / n)
+        T_model = T_model.at[:3, 3].set(T_rel[:3, 3])
         T_prev_next = jnp.where(reacq_taken, T_model, T_prev_next)
         model_age_next = jnp.where(reacq_taken, jnp.int32(4),
                                    model_age_next)

@@ -126,7 +126,7 @@ def build_jobs(frames: int, only: str):
         jobs.append(("prof_newer_college_handheld",
                      ["--world", "urban", "--seed", "7",
                       "--frames", str(frames), "--beams", "64",
-                      "--traj_step", "0.35", "--handheld",
+                      "--traj_step", "0.35", "--handheld", "--lax_health",
                       "--config", os.path.join(
                           _CFG_DIR, "lo_gflag_list_newer_college.txt")]))
     return jobs
