@@ -586,13 +586,15 @@ def main():
         world = np.concatenate([build_world(rng),
                                 build_world_hard_extras(rng)])
         world_g = loop_trajectory(args.frames)
+        # the pipeline's noise cliff sits near sigma ~0.08-0.1 m (the
+        # PCA planarity scale); levels step toward it, not past it
         sim_kw = {
             1: dict(noise_base=0.02, noise_range_coef=0.0006,
                     occl_sectors=2),
-            2: dict(noise_base=0.035, noise_range_coef=0.001,
+            2: dict(noise_base=0.025, noise_range_coef=0.0007,
                     occl_sectors=3),
-            3: dict(noise_base=0.05, noise_range_coef=0.0015,
-                    occl_sectors=4),
+            3: dict(noise_base=0.03, noise_range_coef=0.0008,
+                    occl_sectors=3),
         }[max(1, min(args.hardness, 3))]
     else:
         world = build_world(rng)
