@@ -110,4 +110,10 @@ def load_checkpoint(path: str, backend=None, cfg=None) -> Optional[dict]:
         backend.frames_wo_opt = b.get("frames_wo_opt",
                                       backend.frames_wo_opt)
         backend.optimized = b["optimized"]
+        # the device submap bank is never serialized; re-upload the
+        # restored clouds so the post-resume loop ladder runs the same
+        # banked batch path as the original session (backend.rebuild_bank
+        # docstring has the measured divergence without this)
+        if hasattr(backend, "rebuild_bank"):
+            backend.rebuild_bank()
     return payload

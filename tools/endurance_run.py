@@ -173,7 +173,11 @@ def main():
     print(f"[endurance] resuming from frame {kept.get('f')} ...",
           flush=True)
     t2 = time.time()
-    pipe_b = SlamPipeline(cfg, checkpoint_path=ck_mid, checkpoint_every=8)
+    # run B continues FROM a copy so its own checkpoints cannot clobber
+    # the kept mid-run artifact
+    ck_b = os.path.join(args.workdir, "run_b.ckpt")
+    shutil.copyfile(ck_mid, ck_b)
+    pipe_b = SlamPipeline(cfg, checkpoint_path=ck_b, checkpoint_every=8)
     res_b = pipe_b.run(ds, progress=False)
     pipe_b.refine(res_b)
     out["resume_s"] = round(time.time() - t2, 1)
