@@ -17,7 +17,31 @@ def _semantic_cfg():
         cfg.feature, semantic_assist_on=True))
 
 
-def test_moving_object_prefilter(rng):
+def test_moving_object_prefilter():
+    """Runs the real check in a FRESH interpreter: compiling this
+    extraction variant ~70 tests into the long-lived suite process
+    segfaults inside XLA's backend_compile (reproducible at the same
+    spot across three suite runs, round 5) while the identical program
+    compiles and passes in a fresh process — an upstream compiler/heap
+    interaction, not a program defect.  Subprocess isolation keeps the
+    coverage without the crash."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["MULLS_SEMANTIC_INNER"] = "1"
+    p = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x",
+         __file__ + "::test_moving_object_prefilter_inner"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, (p.stdout or "")[-2000:] + (p.stderr or "")[-500:]
+
+
+def test_moving_object_prefilter_inner(rng):
+    import os
+    import pytest
+    if not os.environ.get("MULLS_SEMANTIC_INNER"):
+        pytest.skip("runs via the subprocess wrapper above")
     cfg = _semantic_cfg()
     d = ge._synthetic_raw(cfg)
     n = cfg.shapes.n_raw
