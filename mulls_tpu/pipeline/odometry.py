@@ -389,21 +389,28 @@ def _register_stage(state: SlamState, frame, cfg: MullsConfig):
             and vertices keep their full vote, and a genuine turn-around
             (deviation transverse to vertical pillars) still registers
             as genuine.
-            The SUPPORT gate is 3x the dynamic gate: the map's budgeted
-            classes sample surfaces at ~1 m spacing, so a 0.3 m 1-NN
-            support test is sampling-limited (measured: ~25 vs ~10
-            counts for a 2.4 m capture vs the true prior — decided by
-            noise); at 0.9 m the true hypothesis draws hundreds of
-            votes while a meters-displaced capture still gets none.
-            The CLEANING mask keeps the tight gate (its job is culling
-            mover points, not voting).
+            The SUPPORT gate scales with the hypothesis separation:
+            half of dev0, clamped to [1x, 3x] the dynamic gate.  The
+            round-4 fixed 0.3 m gate was sampling-limited against the
+            ~1 m-spaced budgeted map (measured: ~25 vs ~10 votes for a
+            2.4 m capture vs the true prior — decided by noise), but a
+            FIXED 0.9 m gate overshot the other way: at a genuine
+            1.4 m turn-around the displaced prior picks up accidental
+            sub-0.9 m votes from ~1 m-spaced structure and the ratio
+            test vetoed a true reversal (bench playlist frame 236).
+            Half-the-separation keeps the two hypotheses' vote sets
+            disjoint at any deviation while staying as wide as the
+            sampling needs.  The CLEANING mask keeps the tight gate
+            (its job is culling mover points, not voting).
             Also runs the mover-cleaned re-registration from
             the prior (sources within the dynamic gate of the
             prior-aligned map, `map_manager.cpp:145-256` applied to the
             source)."""
-            u = res.transform[:3, 3] - guess0[:3, 3]
-            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-6)
-            sup_gate2 = 9.0 * dyn_gate2
+            du = res.transform[:3, 3] - guess0[:3, 3]
+            dev = jnp.linalg.norm(du)
+            u = du / jnp.maximum(dev, 1e-6)
+            sup_gate2 = jnp.clip((0.5 * dev) ** 2, dyn_gate2,
+                                 9.0 * dyn_gate2)
             sup_res = jnp.float32(0)
             sup_prior = jnp.float32(0)
             cleaned = {}
